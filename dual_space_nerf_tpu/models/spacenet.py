@@ -1,0 +1,187 @@
+"""The Dual-Space NeRF model family as Flax modules.
+
+Architecture (behavioral reference, re-designed for JAX — citations are to
+/root/reference):
+
+- ``SpaceNet`` (`model/spacenet.py:18-148`): canonical-space radiance MLP.
+  PE(L=10, incl. input) -> 63-d; per-frame code nn.Embedding(500, 8); 16-d
+  pose feature; stage1 = 4 x Linear(87->256)+ReLU; stage2 = 3 x
+  Linear(256+63->256)+ReLU with positional skip; density head Linear(256->1)
+  (no activation); essence head ReLU->Linear(256->128)->ReLU->Linear(128->3).
+  `use_dir` is hardcoded False in the reference (`spacenet.py:22`).
+- ``LightingMLP`` (`model/spacenet.py:152-188`): world-space lighting.
+  Input [normal(3), xyz_world(3), unit view dir(3)] (L=0 PE = identity),
+  MLP 9->128->128->1 + ELU; output w+1 multiplies the essence RGB.
+- ``PoseMLP`` (`model/spacenet.py:199-205`): 23 joints x quaternion-minus-
+  identity (92-d) -> 64 -> 64 -> 16.
+- ``rod2quat`` (`model/spacenet.py:314-331`): rotation vectors -> (qx, qy,
+  qz, qw-1), zero at rest pose.
+
+Everything is a pure function of (params, inputs): frame-code zeroing for
+novel-pose inference (`spacenet.py:126-129`, `test.py:196`) is the
+``code_scale`` argument instead of mutable module state; lighting-space
+rotation/translation (`spacenet.py:254-263`) are explicit renderer inputs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.posenc import posenc, posenc_dim
+from .layers import Dense, mlp
+
+
+def rod2quat(rot_vecs: jnp.ndarray) -> jnp.ndarray:
+    """Rotation vectors (J, 3) -> quaternions-minus-identity (J, 4).
+
+    qw = cos(theta/2) - 1 so the rest pose maps to the zero vector
+    (reference `spacenet.py:314-331`, including its +1e-16 regularizer).
+    """
+    angle = jnp.linalg.norm(rot_vecs + 1e-16, axis=-1, keepdims=True)
+    rot_dir = rot_vecs / angle
+    half = angle / 2.0
+    sin = jnp.sin(half)
+    xyz = rot_dir * sin
+    qw = jnp.cos(half) - 1.0
+    return jnp.concatenate([xyz, qw], axis=-1)
+
+
+class SpaceNet(nn.Module):
+    """Canonical-space density + essence-color field."""
+
+    max_frames: int = 500
+    code_dim: int = 8
+    essence_dim: int = 3
+    backbone_dim: int = 256
+    pe_freqs: int = 10
+
+    def setup(self):
+        if self.code_dim > 0:
+            self.embedding = nn.Embed(
+                self.max_frames,
+                self.code_dim,
+                embedding_init=nn.initializers.normal(stddev=1.0),
+            )
+
+    @nn.compact
+    def __call__(
+        self,
+        pos: jnp.ndarray,          # (N, 3) canonical xyz
+        frame_idx: jnp.ndarray,    # (N,) int32
+        pose_feat: jnp.ndarray,    # (N, 16)
+        code_scale: jnp.ndarray | float = 1.0,
+        density_only: bool = False,
+    ):
+        """Returns (essence (N, 3), density (N, 1)); essence is None when
+        density_only."""
+        pe = posenc(pos, self.pe_freqs)  # (N, 63)
+        if self.code_dim > 0:
+            code = self.embedding(frame_idx) * code_scale
+            x = jnp.concatenate([code, pe, pose_feat], axis=-1)
+        else:
+            x = pe
+        x = mlp(x, [self.backbone_dim] * 4, activate_final=True)
+        x = jnp.concatenate([x, pe], axis=-1)
+        x = mlp(x, [self.backbone_dim] * 3, activate_final=True)
+        density = Dense(1)(x)
+        if density_only:
+            return None, density
+        h = jax.nn.relu(x)
+        h = jax.nn.relu(Dense(self.backbone_dim // 2)(h))
+        essence = Dense(self.essence_dim)(h)
+        return essence, density
+
+    @property
+    def pos_dim(self) -> int:
+        return posenc_dim(3, self.pe_freqs)
+
+
+class LightingMLP(nn.Module):
+    """World-space scalar lighting multiplier."""
+
+    width: int = 128
+
+    @nn.compact
+    def __call__(
+        self,
+        normal: jnp.ndarray,       # (N, 3) world-space unit surface normal
+        xyz_world: jnp.ndarray,    # (N, 3)
+        view_dir_world: jnp.ndarray,  # (N, 3), normalized inside
+        essence: jnp.ndarray,      # (N, 3)
+    ) -> jnp.ndarray:
+        view = view_dir_world / jnp.linalg.norm(
+            view_dir_world, axis=-1, keepdims=True
+        )
+        x = jnp.concatenate([normal, xyz_world, view], axis=-1)  # (N, 9)
+        x = mlp(x, [self.width, self.width, 1])
+        w = jax.nn.elu(x) + 1.0
+        return w * essence
+
+
+class PoseMLP(nn.Module):
+    """23-joint quaternion pose encoding -> 16-d feature."""
+
+    @nn.compact
+    def __call__(self, pose_quat_flat: jnp.ndarray) -> jnp.ndarray:
+        """pose_quat_flat: (..., 92) -> (..., 16)."""
+        return mlp(pose_quat_flat, [64, 64, 16])
+
+
+class DualSpaceNeRF(nn.Module):
+    """Composition of the three networks.
+
+    The renderer orchestrates the actual dual-space pipeline (warp, autodiff
+    normals, normal re-mapping, light-space transforms); this module only owns
+    parameters and the three differentiable sub-functions, exposed as methods
+    so they can be addressed via ``model.apply(..., method=...)``.
+    """
+
+    max_frames: int = 500
+    code_dim: int = 8
+    essence_dim: int = 3
+    backbone_dim: int = 256
+
+    def setup(self):
+        self.nerf = SpaceNet(
+            max_frames=self.max_frames,
+            code_dim=self.code_dim,
+            essence_dim=self.essence_dim,
+            backbone_dim=self.backbone_dim,
+        )
+        self.lighting_mlp = LightingMLP()
+        self.pose_mlp = PoseMLP()
+
+    def pose_feature(self, body_pose: jnp.ndarray) -> jnp.ndarray:
+        """body_pose: (23, 3) joint rotation vectors -> (16,) feature.
+
+        Reference `spacenet.py:222-236` (body joints = poses[1:, :]).
+        """
+        quat = rod2quat(body_pose).reshape(-1)  # (92,)
+        return self.pose_mlp(quat)
+
+    def sigma_essence(
+        self,
+        pos_cano: jnp.ndarray,
+        frame_idx: jnp.ndarray,
+        pose_feat: jnp.ndarray,
+        code_scale,
+        density_only: bool = False,
+    ):
+        return self.nerf(
+            pos_cano, frame_idx, pose_feat, code_scale, density_only=density_only
+        )
+
+    def lighting(self, normal, xyz_world, view_dir_world, essence):
+        return self.lighting_mlp(normal, xyz_world, view_dir_world, essence)
+
+    def __call__(self, pos_cano, frame_idx, pose_feat, code_scale=1.0):
+        """Parameter-initialization convenience: touches every submodule."""
+        essence, density = self.sigma_essence(
+            pos_cano, frame_idx, pose_feat, code_scale
+        )
+        dummy_normal = jnp.zeros_like(pos_cano)
+        color = self.lighting(dummy_normal, pos_cano, pos_cano + 1.0, essence)
+        _ = self.pose_feature(jnp.zeros((23, 3), pos_cano.dtype))
+        return color, density

@@ -1,0 +1,151 @@
+"""Nearest-face (K=1 KNN over triangle centroids) — TPU-native.
+
+This replaces the single native-code dependency of the reference: pytorch3d's
+CUDA ``knn_points``/``knn_gather`` used in `utils/render_utils.py:84-99`
+(`get_closest_mesh`). There, every sample point finds the nearest of 13,776
+SMPL face centroids; the 3x3 triangle vertices are then gathered.
+
+Design (TPU-first, not a translation):
+- The centroid set is tiny (13776 x 3 = 165 KB) and fits in VMEM whole, so
+  the problem is a dense (N x F) distance argmin — MXU/VPU-friendly,
+  nothing like a CUDA scatter KNN.
+- ``nearest_face_xla``: squared distances via one matmul
+  (|p|^2 - 2 p.c + |c|^2) and an argmin. XLA tiles and fuses this fine; it is
+  the CPU-test and fallback path.
+- ``nearest_face_pallas``: Pallas kernel; grid over point blocks, centroids
+  resident in VMEM, fori_loop over centroid tiles with a running
+  (min-dist, argmin) pair. Avoids materializing the (N x F) matrix in HBM.
+
+Both share the numerics convention dist^2 = |p|^2 - 2 p.c + |c|^2 in f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK_P = 1024   # points per grid step
+_BLOCK_F = 2048   # centroid tile inside the kernel
+_PAD_DIST = 1e30  # sentinel for padded centroids
+
+
+def face_centroids(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Triangle centroids: verts (V, 3), faces (F, 3) int -> (F, 3).
+
+    Reference: `render_utils.py:94` (meshes.mean(dim=-2)).
+    """
+    return verts[faces].mean(axis=-2)
+
+
+# --------------------------------------------------------------------------
+# XLA reference/fallback implementation
+# --------------------------------------------------------------------------
+def nearest_face_xla(pts: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
+    """Argmin_f ||pts - centroids_f||^2. pts (N, 3), centroids (F, 3) -> (N,) int32."""
+    p2 = jnp.sum(pts * pts, axis=-1, keepdims=True)              # (N, 1)
+    c2 = jnp.sum(centroids * centroids, axis=-1)[None, :]        # (1, F)
+    # HIGHEST: default TPU matmul precision is bf16-ish, which mis-ranks
+    # near-ties by ~1e-2 — far above the warp's tolerance.
+    cross = jnp.matmul(
+        pts, centroids.T, precision=jax.lax.Precision.HIGHEST
+    )                                                            # (N, F) MXU
+    d2 = p2 - 2.0 * cross + c2
+    return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# Pallas kernel
+# --------------------------------------------------------------------------
+def _nearest_kernel(pts_ref, cent_ref, cent_norm_ref, idx_ref, *, n_f_tiles):
+    """One grid step: BLOCK_P points vs all centroid tiles.
+
+    pts_ref:       (BLOCK_P, 3)   VMEM
+    cent_ref:      (F_pad, 3)     VMEM (resident across grid steps)
+    cent_norm_ref: (1, F_pad)     VMEM precomputed |c|^2 (padded tiles = 1e30)
+    idx_ref:       (BLOCK_P, 1)   VMEM int32 output
+    """
+    pts = pts_ref[:]                                            # (P, 3)
+    p2 = jnp.sum(pts * pts, axis=-1, keepdims=True)             # (P, 1)
+
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (pts.shape[0], _BLOCK_F), 1)
+
+    def body(t, carry):
+        best_d, best_i = carry
+        start = t * _BLOCK_F
+        cent = cent_ref[pl.ds(start, _BLOCK_F), :]              # (BF, 3)
+        c2 = cent_norm_ref[:, pl.ds(start, _BLOCK_F)]           # (1, BF)
+        cross = jax.lax.dot_general(
+            pts, cent,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                       # (P, BF)
+        d2 = p2 - 2.0 * cross + c2
+        tile_min = jnp.min(d2, axis=-1, keepdims=True)          # (P, 1)
+        # first-match argmin via iota-select (robust on Mosaic)
+        cand = jnp.where(d2 <= tile_min, lane_ids, _BLOCK_F)
+        tile_arg = jnp.min(cand, axis=-1, keepdims=True) + start
+        take = tile_min < best_d
+        return jnp.where(take, tile_min, best_d), jnp.where(take, tile_arg, best_i)
+
+    init = (
+        jnp.full((pts.shape[0], 1), jnp.inf, jnp.float32),
+        jnp.zeros((pts.shape[0], 1), jnp.int32),
+    )
+    _, best_i = jax.lax.fori_loop(0, n_f_tiles, body, init)
+    idx_ref[:] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_face_pallas(
+    pts: jnp.ndarray, centroids: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Pallas nearest-centroid argmin. pts (N, 3), centroids (F, 3) -> (N,) int32."""
+    n = pts.shape[0]
+    f = centroids.shape[0]
+    n_pad = -(-n // _BLOCK_P) * _BLOCK_P
+    f_pad = -(-f // _BLOCK_F) * _BLOCK_F
+
+    pts_p = jnp.pad(pts.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    cent_p = jnp.pad(centroids.astype(jnp.float32), ((0, f_pad - f), (0, 0)))
+    c2 = jnp.sum(cent_p * cent_p, axis=-1)
+    # Padded centroids must never win the argmin.
+    c2 = jnp.where(
+        jnp.arange(f_pad) < f, c2, jnp.float32(_PAD_DIST)
+    )[None, :]
+
+    n_f_tiles = f_pad // _BLOCK_F
+    grid = (n_pad // _BLOCK_P,)
+
+    idx = pl.pallas_call(
+        functools.partial(_nearest_kernel, n_f_tiles=n_f_tiles),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BLOCK_P, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_P, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        interpret=interpret,
+    )(pts_p, cent_p, c2)
+    return idx[:n, 0]
+
+
+# --------------------------------------------------------------------------
+# Dispatch
+# --------------------------------------------------------------------------
+def nearest_face(
+    pts: jnp.ndarray, centroids: jnp.ndarray, impl: str = "auto"
+) -> jnp.ndarray:
+    """Nearest-centroid index per point. impl: auto | pallas | xla."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return nearest_face_pallas(pts, centroids)
+    return nearest_face_xla(pts, centroids)

@@ -1,0 +1,388 @@
+"""The jitted dual-space volume-rendering pipeline.
+
+Functional equivalent of the reference's `can_render.py` Renderer (train path
+`render()` :137-168, eval path `render_view()`/`batchify_rays_view` :172-278,
+warp `w2l`/`w2l_without_lbs` :298-379) plus the model-internal orchestration
+of `model/spacenet.py:210-298` (autodiff normals, normal re-mapping,
+light-space transforms) — re-designed as one pure function per train/eval
+step that XLA compiles end-to-end:
+
+  sample -> GG near/far -> warp(world->canonical) -> SpaceNet (+vjp normal)
+  -> normal(canonical->world) -> LightingMLP -> transparent mask -> composite
+
+TPU design choices:
+- Static shapes throughout; rays per call is fixed (train nrays / eval chunk).
+- Memory is controlled with `lax.map` microbatching over points plus
+  `jax.checkpoint` (the reference instead chunks 32768-point Python loops,
+  `can_render.py:65-95`). Under remat, the second-order normal graph never
+  materializes more than one chunk of activations.
+- Surface normals: the reference double-backprops through torch autograd
+  (`spacenet.py:301-311`); here one `jax.vjp` pullback per chunk yields
+  d(density)/d(xyz_cano) for all points in a single batched backward pass.
+- The canonical-space ray direction the reference computes in `w2l`
+  (`can_render.py:367-376`) is DEAD COMPUTE: `SpaceNet.use_dir` is hardcoded
+  False (`spacenet.py:22`) so it is never consumed. It is implemented here
+  (`warp_dirs=True`) for completeness but off by default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import (
+    barycentric_map,
+    composite,
+    gg_near_far,
+    project_point2mesh,
+    sample_along_rays,
+    stratified_z,
+    transparent_mask,
+)
+from ..ops import face_centroids, nearest_face
+
+
+class MeshBundle(NamedTuple):
+    """Per-frame posed mesh + per-sequence canonical mesh.
+
+    faces: (F, 3) int32; verts_world: (V, 3); verts_cano: (V, 3).
+    Equivalent of the reference's `canonical_model` + per-batch `xyz`
+    (`can_render.py:382-406`).
+    """
+
+    faces: jnp.ndarray
+    verts_world: jnp.ndarray
+    verts_cano: jnp.ndarray
+
+
+class RayBatch(NamedTuple):
+    """One step's rays (train: sampled pixels; eval: one image chunk)."""
+
+    ray_o: jnp.ndarray      # (R, 3)
+    ray_d: jnp.ndarray      # (R, 3) un-normalized
+    near: jnp.ndarray       # (R,)
+    far: jnp.ndarray        # (R,)
+    frame: jnp.ndarray      # () int32 frame-embedding index
+    body_pose: jnp.ndarray  # (23, 3) joint rotation vectors (poses[1:])
+
+
+class LightState(NamedTuple):
+    """Inference-time lighting manipulation, all traced (identity defaults).
+
+    rot: (2, 2) rotation applied to world xy about rot_center
+    (`spacenet.py:254-258`); light_bias: translation
+    (light_center - mean(Th), `spacenet.py:260-263`); code_scale: scales the
+    frame embedding (0.0 == the reference's `net.nerf.w = 0`).
+    """
+
+    rot: jnp.ndarray
+    rot_center: jnp.ndarray
+    light_bias: jnp.ndarray
+    code_scale: jnp.ndarray
+
+    @staticmethod
+    def identity(dtype=jnp.float32) -> "LightState":
+        return LightState(
+            rot=jnp.eye(2, dtype=dtype),
+            rot_center=jnp.zeros((3,), dtype),
+            light_bias=jnp.zeros((3,), dtype),
+            code_scale=jnp.ones((), dtype),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static (compile-time) pipeline configuration."""
+
+    n_samples: int = 64
+    sample_mode: str = "GG"          # "GG" | "uniform"
+    gg_gamma: float = 0.05
+    perturb: float = 1.0
+    raw_noise_std: float = 1.0
+    mlp_chunk: int = 32768
+    knn_impl: str = "auto"
+    remat: bool = True
+    warp_dirs: bool = False          # reference computes-but-discards these
+    uv_floor: float = -4.0
+    uv_ceil: float = 5.0
+    max_surface_dist: float = 0.1
+    white_bkgd: bool = False
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "RenderSettings":
+        return cls(
+            n_samples=cfg.MODEL.COARSE_RAY_SAMPLING,
+            sample_mode=cfg.MODEL.sample_points_mode,
+            perturb=cfg.MODEL.perturb,
+            raw_noise_std=cfg.MODEL.raw_noise_std,
+            mlp_chunk=cfg.MODEL.MLP_CHUNK,
+            knn_impl=cfg.MODEL.KNN_IMPL,
+            remat=cfg.MODEL.REMAT,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Warp: world space -> canonical space
+# ---------------------------------------------------------------------------
+def warp_world_to_canonical(
+    pts_w: jnp.ndarray,
+    mesh: MeshBundle,
+    centroids_w: jnp.ndarray,
+    settings: RenderSettings,
+    ray_d_w: jnp.ndarray | None = None,
+):
+    """Barycentric-project points onto the posed mesh, rebuild on canonical.
+
+    pts_w: (N, 3). Returns (pts_cano (N, 3), tmask (N,), face_idx (N,),
+    ray_d_cano (N, 3) | None). Reference: `can_render.py:333-379`.
+    """
+    fidx = nearest_face(pts_w, centroids_w, settings.knn_impl)      # (N,)
+    tri_vidx = mesh.faces[fidx]                                     # (N, 3)
+    tris_w = mesh.verts_world[tri_vidx]                             # (N, 3, 3)
+    tris_c = mesh.verts_cano[tri_vidx]                              # (N, 3, 3)
+
+    uv, h = project_point2mesh(pts_w, tris_w)
+    tmask = transparent_mask(
+        uv, h, settings.uv_floor, settings.uv_ceil, settings.max_surface_dist
+    )
+    pts_c = barycentric_map(uv, h, tris_c)
+
+    ray_d_c = None
+    if ray_d_w is not None:
+        uv2, h2 = project_point2mesh(pts_w + ray_d_w, tris_w)
+        end_c = barycentric_map(uv2, h2, tris_c)
+        d = end_c - pts_c
+        ray_d_c = d / jnp.maximum(
+            jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12
+        )
+    return pts_c, tmask, fidx, ray_d_c
+
+
+def normal_canonical_to_world(
+    pts_c: jnp.ndarray,
+    normal_local: jnp.ndarray,
+    mesh: MeshBundle,
+    centroids_c: jnp.ndarray,
+    settings: RenderSettings,
+) -> jnp.ndarray:
+    """Map canonical-space density gradients to world-space unit normals.
+
+    A second nearest-face search in CANONICAL space (the reference re-runs
+    KNN against the canonical mesh rather than reusing the warp's face ids,
+    `spacenet.py:278-298`), then transports both the point and its offset
+    along the gradient through the same triangle on the posed mesh.
+    """
+    cidx = nearest_face(pts_c, centroids_c, settings.knn_impl)
+    tri_vidx = mesh.faces[cidx]
+    tris_c = mesh.verts_cano[tri_vidx]
+    tris_w = mesh.verts_world[tri_vidx]
+
+    uv, h = project_point2mesh(pts_c, tris_c)
+    start_w = barycentric_map(uv, h, tris_w)
+    uv2, h2 = project_point2mesh(pts_c + normal_local, tris_c)
+    end_w = barycentric_map(uv2, h2, tris_w)
+
+    n = end_w - start_w
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Per-point network evaluation (chunked, rematerialized)
+# ---------------------------------------------------------------------------
+def _point_network(
+    params,
+    model,
+    pts_w,          # (n, 3) world points (light transforms already applied)
+    pts_c,          # (n, 3) canonical points
+    dir_w,          # (n, 3) world view dirs
+    frame_idx,      # (n,) int32
+    pose_feat,      # (n, 16)
+    code_scale,     # ()
+    mesh: MeshBundle,
+    centroids_c,
+    settings: RenderSettings,
+):
+    """color (n, 3), sigma (n,) for one chunk of points."""
+
+    def sigma_essence(xc):
+        essence, density = model.apply(
+            params,
+            xc,
+            frame_idx,
+            pose_feat,
+            code_scale,
+            method="sigma_essence",
+        )
+        return essence, density
+
+    (essence, density), pullback = jax.vjp(sigma_essence, pts_c)
+    # d(sum sigma)/d(xyz_cano): cotangent 1 on density, 0 on essence —
+    # one batched backward pass == torch grad with grad_outputs=ones
+    # (reference `spacenet.py:301-311`).
+    normal_local = pullback(
+        (jnp.zeros_like(essence), jnp.ones_like(density))
+    )[0]
+
+    normal_w = normal_canonical_to_world(
+        pts_c, normal_local, mesh, centroids_c, settings
+    )
+    color = model.apply(
+        params, normal_w, pts_w, dir_w, essence, method="lighting"
+    )
+    return color, density[..., 0]
+
+
+def _chunked_points(fn, n_points: int, chunk: int, args: tuple):
+    """Run fn over point-chunks with lax.map; pads N up to a chunk multiple.
+
+    args are pytrees whose leaves have leading dim n_points.
+    """
+    n_chunks = -(-n_points // chunk)
+    n_pad = n_chunks * chunk - n_points
+
+    def pad(x):
+        if n_pad == 0:
+            return x
+        widths = [(0, n_pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, mode="edge")
+
+    stacked = jax.tree.map(
+        lambda x: pad(x).reshape(n_chunks, chunk, *x.shape[1:]), args
+    )
+    out = jax.lax.map(fn, stacked)
+    return jax.tree.map(
+        lambda x: x.reshape(n_chunks * chunk, *x.shape[2:])[:n_points], out
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+def render_rays(
+    params,
+    model,
+    batch: RayBatch,
+    mesh: MeshBundle,
+    settings: RenderSettings,
+    light: LightState,
+    rng: jax.Array | None,
+    train: bool,
+) -> dict[str, jnp.ndarray]:
+    """Render a batch of rays. Everything in here jit-compiles as one graph.
+
+    Returns dict with color (R,3), disp/acc/depth (R,), weights/z_vals (R,S).
+    """
+    r = batch.ray_o.shape[0]
+    s = settings.n_samples
+
+    rng_z = rng_noise = None
+    if train and rng is not None:
+        rng_z, rng_noise = jax.random.split(rng)
+
+    near, far = batch.near, batch.far
+    if settings.sample_mode == "GG":
+        near, far = gg_near_far(
+            batch.ray_o, batch.ray_d, near, far, mesh.verts_world,
+            settings.gg_gamma,
+        )
+
+    z_vals = stratified_z(
+        near, far, s, rng_z if (train and settings.perturb > 0) else None
+    )
+    pts_w = sample_along_rays(batch.ray_o, batch.ray_d, z_vals)  # (R, S, 3)
+
+    n = r * s
+    pts_w_flat = pts_w.reshape(n, 3)
+    dir_w_flat = jnp.broadcast_to(batch.ray_d[:, None, :], (r, s, 3)).reshape(n, 3)
+
+    centroids_w = face_centroids(mesh.verts_world, mesh.faces)
+    centroids_c = face_centroids(mesh.verts_cano, mesh.faces)
+
+    pose_feat = model.apply(
+        params, batch.body_pose, method="pose_feature"
+    )  # (16,)
+    frame_flat = jnp.full((n,), batch.frame, jnp.int32)
+
+    def chunk_fn(chunk_args):
+        pw, dw, fi = chunk_args
+        pc, tmask, _, _ = warp_world_to_canonical(
+            pw, mesh, centroids_w, settings,
+            ray_d_w=dw if settings.warp_dirs else None,
+        )
+        # Inference-time light-space manipulation of the *world* coords seen
+        # by the LightingMLP (`spacenet.py:254-263`).
+        xy = (pw[:, :2] - light.rot_center[:2]) @ light.rot + light.rot_center[:2]
+        pw_light = jnp.concatenate([xy, pw[:, 2:]], axis=-1) + light.light_bias
+        pf = jnp.broadcast_to(pose_feat, (pw.shape[0], pose_feat.shape[-1]))
+        color, sigma = _point_network(
+            params, model, pw_light, pc, dw, fi, pf, light.code_scale,
+            mesh, centroids_c, settings,
+        )
+        sigma = jnp.where(tmask, 0.0, sigma)
+        return color, sigma
+
+    if settings.remat:
+        chunk_fn = jax.checkpoint(chunk_fn)
+
+    color_flat, sigma_flat = _chunked_points(
+        chunk_fn, n, min(settings.mlp_chunk, n), (pts_w_flat, dir_w_flat, frame_flat)
+    )
+
+    color = color_flat.reshape(r, s, 3)
+    sigma = sigma_flat.reshape(r, s)
+
+    out = composite(
+        color,
+        sigma,
+        z_vals,
+        batch.ray_d,
+        noise_std=settings.raw_noise_std if train else 0.0,
+        rng=rng_noise,
+        white_bkgd=settings.white_bkgd,
+    )
+    return {
+        "color": out.rgb,
+        "disp_map": out.disp,
+        "acc_map": out.acc,
+        "depth_map": out.depth,
+        "weights": out.weights,
+        "z_vals": z_vals,
+    }
+
+
+def density_grid(
+    params,
+    model,
+    pts_c: jnp.ndarray,
+    frame: jnp.ndarray,
+    body_pose: jnp.ndarray,
+    settings: RenderSettings,
+    code_scale: jnp.ndarray | float = 1.0,
+) -> jnp.ndarray:
+    """Density-only query of canonical points (marching-cubes / dev path).
+
+    Equivalent of `can_render.py:280-296` (`query_volume`) with
+    `density_only=True`. pts_c: (N, 3) -> (N,).
+    """
+    pose_feat = model.apply(params, body_pose, method="pose_feature")
+
+    def chunk_fn(chunk_args):
+        (pc,) = chunk_args
+        n = pc.shape[0]
+        _, density = model.apply(
+            params,
+            pc,
+            jnp.full((n,), frame, jnp.int32),
+            jnp.broadcast_to(pose_feat, (n, pose_feat.shape[-1])),
+            jnp.asarray(code_scale, pc.dtype),
+            True,
+            method="sigma_essence",
+        )
+        return density[..., 0]
+
+    return _chunked_points(
+        chunk_fn, pts_c.shape[0], min(settings.mlp_chunk, pts_c.shape[0]), (pts_c,)
+    )

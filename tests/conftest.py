@@ -1,0 +1,30 @@
+"""Test harness: force an 8-virtual-device CPU mesh before jax imports.
+
+Multi-chip sharding paths run on virtual CPU devices
+(XLA_FLAGS=--xla_force_host_platform_device_count=8), per SURVEY.md section 4.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Compiles in this container round-trip a remote compile service (~1s each,
+# even for CPU executables); the persistent cache makes re-runs cheap.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+@pytest.fixture
+def rng_np():
+    return np.random.default_rng(233)
