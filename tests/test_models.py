@@ -1,0 +1,140 @@
+"""Model-family tests: dimensions, init scales, pose encoding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dual_space_nerf_tpu.models import DualSpaceNeRF, rod2quat
+from dual_space_nerf_tpu.ops import posenc, posenc_dim
+
+
+def _init(model=None, n=4):
+    model = model or DualSpaceNeRF()
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((n, 3)),
+        jnp.zeros((n,), jnp.int32),
+        jnp.zeros((n, 16)),
+    )
+    return model, params
+
+
+def test_posenc_dims_and_order():
+    x = jnp.asarray([[0.5, -0.25, 1.0]])
+    out = posenc(x, 10)
+    assert out.shape == (1, 63)
+    assert posenc_dim(3, 10) == 63
+    # identity part first
+    np.testing.assert_allclose(out[0, :3], x[0], atol=1e-7)
+    # freq 0 (2^0): sin then cos
+    np.testing.assert_allclose(out[0, 3:6], np.sin(np.asarray(x[0])), atol=1e-6)
+    np.testing.assert_allclose(out[0, 6:9], np.cos(np.asarray(x[0])), atol=1e-6)
+    # last freq block: 2^9
+    np.testing.assert_allclose(
+        out[0, -3:], np.cos(512.0 * np.asarray(x[0])), atol=1e-4
+    )
+
+
+def test_rod2quat_rest_pose_is_zero():
+    q = rod2quat(jnp.zeros((23, 3)))
+    assert q.shape == (23, 4)
+    np.testing.assert_allclose(q, np.zeros((23, 4)), atol=1e-7)
+
+
+def test_rod2quat_known_rotation():
+    # pi rotation about x: q = (sin(pi/2), 0, 0, cos(pi/2)-1) = (1, 0, 0, -1)
+    r = jnp.asarray([[np.pi, 0.0, 0.0]])
+    q = rod2quat(r)
+    np.testing.assert_allclose(q, [[1.0, 0.0, 0.0, -1.0]], atol=1e-6)
+
+
+def test_model_shapes_and_param_count():
+    model, params = _init(n=7)
+    essence, density = model.apply(
+        params,
+        jnp.zeros((7, 3)),
+        jnp.zeros((7,), jnp.int32),
+        jnp.zeros((7, 16)),
+        1.0,
+        method="sigma_essence",
+    )
+    assert essence.shape == (7, 3)
+    assert density.shape == (7, 1)
+
+    color = model.apply(
+        params,
+        jnp.zeros((7, 3)),
+        jnp.zeros((7, 3)),
+        jnp.ones((7, 3)),
+        essence,
+        method="lighting",
+    )
+    assert color.shape == (7, 3)
+
+    feat = model.apply(params, jnp.zeros((23, 3)), method="pose_feature")
+    assert feat.shape == (16,)
+
+    # layer-dimension audit vs reference (spacenet.py:47-80,165-172,199-205)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    shapes = {jax.tree_util.keystr(k): v.shape for k, v in flat}
+    kernels = sorted(s for k, s in shapes.items() if "kernel" in k)
+    assert (87, 256) in kernels       # stage1 in: 63 PE + 8 code + 16 pose
+    assert (319, 256) in kernels      # stage2 skip: 256 + 63
+    assert (256, 1) in kernels        # density head
+    assert (256, 128) in kernels and (128, 3) in kernels  # essence head
+    assert (9, 128) in kernels and (128, 1) in kernels    # lighting
+    assert (92, 64) in kernels and (64, 16) in kernels    # pose mlp
+    n_params = sum(int(np.prod(s)) for s in shapes.values())
+    # hand count of the reference architecture: embedding 4000 + spacenet
+    # 466,948 + lighting 17,921 + pose-mlp 11,152 = 500,021
+    assert n_params == 500_021
+
+
+def test_code_scale_zero_equals_zero_embedding():
+    """code_scale=0 must equal the reference's `nerf.w = 0` novel-pose mode."""
+    model, params = _init()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(5, 3)), jnp.float32)
+    fi = jnp.asarray([1, 2, 3, 4, 5], jnp.int32)
+    pf = jnp.ones((5, 16))
+    _, d_scaled = model.apply(params, x, fi, pf, 0.0, method="sigma_essence")
+    # zeroing the embedding table must give the same density
+    import flax
+
+    p2 = flax.core.unfreeze(params)
+    emb_path = p2["params"]["nerf"]["embedding"]["embedding"]
+    p2["params"]["nerf"]["embedding"]["embedding"] = jnp.zeros_like(emb_path)
+    _, d_zeroed = model.apply(p2, x, fi, pf, 1.0, method="sigma_essence")
+    np.testing.assert_allclose(d_scaled, d_zeroed, atol=1e-6)
+
+
+def test_lighting_multiplier_lower_bound():
+    """ELU(x)+1 > 0: lighting can darken but never flip essence sign."""
+    model, params = _init()
+    ess = jnp.ones((64, 3))
+    rng = np.random.default_rng(1)
+    color = model.apply(
+        params,
+        jnp.asarray(rng.normal(size=(64, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(64, 3)), jnp.float32),
+        jnp.asarray(rng.normal(size=(64, 3)), jnp.float32),
+        ess,
+        method="lighting",
+    )
+    assert (np.asarray(color) > -1e-6).all()
+
+
+def test_density_gradient_nonzero():
+    """vjp normals: d(density)/d(xyz) exists and is finite/nonzero."""
+    model, params = _init()
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(9, 3)), jnp.float32)
+    fi = jnp.zeros((9,), jnp.int32)
+    pf = jnp.zeros((9, 16))
+
+    def f(xc):
+        _, d = model.apply(params, xc, fi, pf, 1.0, method="sigma_essence")
+        return d.sum()
+
+    g = jax.grad(f)(x)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0

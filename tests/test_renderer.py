@@ -1,0 +1,181 @@
+"""Renderer pipeline integration tests (small synthetic scene, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dual_space_nerf_tpu.data.synthetic import make_scene
+from dual_space_nerf_tpu.models import DualSpaceNeRF
+from dual_space_nerf_tpu.ops import face_centroids
+from dual_space_nerf_tpu.renderer import (
+    LightState,
+    MeshBundle,
+    RayBatch,
+    RenderSettings,
+    density_grid,
+    render_rays,
+    warp_world_to_canonical,
+)
+
+R, S = 16, 8  # tiny: CPU compile cost dominates
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(n_theta=14, n_phi=12, h=64, w=64)  # V=170, F=336
+
+
+@pytest.fixture(scope="module")
+def mesh(scene):
+    return MeshBundle(
+        faces=jnp.asarray(scene.faces),
+        verts_world=jnp.asarray(scene.verts_world),
+        verts_cano=jnp.asarray(scene.verts_cano),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    model = DualSpaceNeRF(max_frames=10)
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((4, 3)),
+        jnp.zeros((4,), jnp.int32),
+        jnp.zeros((4, 16)),
+    )
+    return model, params
+
+
+def _ray_batch(scene, r=R):
+    rng = np.random.default_rng(5)
+    # rays from the camera toward jittered points near the mesh
+    eye = (-scene.R.T @ scene.T).ravel()
+    targets = scene.verts_world[rng.integers(0, len(scene.verts_world), r)]
+    targets = targets + 0.05 * rng.standard_normal((r, 3))
+    d = targets - eye
+    return RayBatch(
+        ray_o=jnp.asarray(np.broadcast_to(eye, (r, 3)), jnp.float32),
+        ray_d=jnp.asarray(d, jnp.float32),
+        near=jnp.full((r,), 0.5, jnp.float32),
+        far=jnp.full((r,), 2.0, jnp.float32),
+        frame=jnp.asarray(0, jnp.int32),
+        body_pose=jnp.asarray(scene.poses[1:], jnp.float32),
+    )
+
+
+def settings(**kw):
+    base = dict(
+        n_samples=S, sample_mode="GG", mlp_chunk=64, knn_impl="xla",
+        remat=True,
+    )
+    base.update(kw)
+    return RenderSettings(**base)
+
+
+def test_warp_surface_points_land_on_canonical_surface(scene, mesh):
+    """Mesh vertices warped world->canonical must land on (h~0) the
+    corresponding canonical positions."""
+    sett = settings()
+    cw = face_centroids(mesh.verts_world, mesh.faces)
+    take = np.arange(0, len(scene.verts_world), 7)
+    pts_w = mesh.verts_world[take]
+    pts_c, tmask, fidx, _ = warp_world_to_canonical(pts_w, mesh, cw, sett)
+    # vertices are on the surface: none should be masked transparent
+    assert not bool(np.asarray(tmask).any())
+    # warped verts should be close to the true canonical verts (exact when
+    # the nearest face contains the vertex)
+    err = np.linalg.norm(np.asarray(pts_c) - np.asarray(mesh.verts_cano[take]), axis=-1)
+    assert np.median(err) < 1e-3
+    assert err.max() < 0.2  # capsule bend is smooth
+
+
+def test_warp_far_points_masked(scene, mesh):
+    sett = settings()
+    cw = face_centroids(mesh.verts_world, mesh.faces)
+    far_pts = jnp.asarray([[5.0, 5.0, 5.0], [-4.0, 2.0, -3.0]], jnp.float32)
+    _, tmask, _, _ = warp_world_to_canonical(far_pts, mesh, cw, sett)
+    assert bool(np.asarray(tmask).all())
+
+
+def test_render_rays_shapes_and_finiteness(scene, mesh, model_params):
+    model, params = model_params
+    batch = _ray_batch(scene)
+    out = render_rays(
+        params, model, batch, mesh, settings(), LightState.identity(),
+        jax.random.key(0), train=True,
+    )
+    assert out["color"].shape == (R, 3)
+    assert out["acc_map"].shape == (R,)
+    assert out["weights"].shape == (R, S)
+    assert np.isfinite(np.asarray(out["color"])).all()
+    assert np.isfinite(np.asarray(out["weights"])).all()
+
+
+def test_render_rays_jit_and_grad(scene, mesh, model_params):
+    """The full pipeline must be jittable and differentiable end-to-end."""
+    model, params = model_params
+    batch = _ray_batch(scene)
+    sett = settings()
+    light = LightState.identity()
+
+    @jax.jit
+    def loss_fn(p, rng):
+        out = render_rays(p, model, batch, mesh, sett, light, rng, train=True)
+        return jnp.mean(out["color"] ** 2)
+
+    g = jax.grad(loss_fn)(params, jax.random.key(1))
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    total = sum(float(jnp.abs(l).sum()) for l in leaves)
+    assert total > 0  # gradients flow through warp + vjp-normals + lighting
+
+
+def test_eval_deterministic(scene, mesh, model_params):
+    model, params = model_params
+    batch = _ray_batch(scene)
+    sett = settings()
+    out1 = render_rays(
+        params, model, batch, mesh, sett, LightState.identity(), None, train=False
+    )
+    out2 = render_rays(
+        params, model, batch, mesh, sett, LightState.identity(), None, train=False
+    )
+    np.testing.assert_array_equal(out1["color"], out2["color"])
+
+
+def test_code_scale_changes_output(scene, mesh, model_params):
+    model, params = model_params
+    batch = _ray_batch(scene)
+    sett = settings()
+    base = LightState.identity()
+    zeroed = base._replace(code_scale=jnp.zeros(()))
+    out1 = render_rays(params, model, batch, mesh, sett, base, None, train=False)
+    out2 = render_rays(params, model, batch, mesh, sett, zeroed, None, train=False)
+    assert not np.allclose(out1["color"], out2["color"])
+
+
+def test_light_bias_changes_output_only_via_lighting(scene, mesh, model_params):
+    model, params = model_params
+    batch = _ray_batch(scene)
+    sett = settings()
+    base = LightState.identity()
+    shifted = base._replace(light_bias=jnp.asarray([1.0, 2.0, 0.5]))
+    out1 = render_rays(params, model, batch, mesh, sett, base, None, train=False)
+    out2 = render_rays(params, model, batch, mesh, sett, shifted, None, train=False)
+    # lighting scales color but the density field (weights) must be identical
+    np.testing.assert_allclose(out1["weights"], out2["weights"], atol=1e-6)
+    assert not np.allclose(out1["color"], out2["color"])
+
+
+def test_density_grid_query(scene, mesh, model_params):
+    model, params = model_params
+    pts = jnp.asarray(
+        np.random.default_rng(0).normal(size=(33, 3)), jnp.float32
+    )
+    d = density_grid(
+        params, model, pts, jnp.asarray(0, jnp.int32),
+        jnp.asarray(scene.poses[1:]), settings(),
+    )
+    assert d.shape == (33,)
+    assert np.isfinite(np.asarray(d)).all()
