@@ -6,7 +6,7 @@ Multi-chip sharding paths run on virtual CPU devices
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,8 +14,17 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import jax.extend.backend  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The container's sitecustomize registers + initializes the axon TPU backend
+# at interpreter startup (before conftest); force re-init onto the 8-device
+# virtual CPU platform.
+if jax.default_backend() != "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    jax.extend.backend.clear_backends()
+assert jax.device_count() == 8, jax.devices()
 
 # Compiles in this container round-trip a remote compile service (~1s each,
 # even for CPU executables); the persistent cache makes re-runs cheap.
