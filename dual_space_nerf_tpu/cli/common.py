@@ -1,0 +1,57 @@
+"""Shared CLI plumbing: config loading, model construction, asset loading."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..config import get_cfg_defaults
+from ..data import synthetic_body_model
+from ..data.smpl import load_body_model
+from ..models import DualSpaceNeRF
+from ..renderer import RenderSettings
+from ..training import Checkpointer, create_train_state, make_optimizer
+
+
+def load_cfg(config_path: str):
+    cfg = get_cfg_defaults()
+    if config_path:
+        assert os.path.exists(config_path), f"config does not exist: {config_path}"
+        cfg.merge_from_file(config_path)
+    cfg.freeze()
+    return cfg
+
+
+def build_model(cfg) -> DualSpaceNeRF:
+    return DualSpaceNeRF(
+        max_frames=cfg.MODEL.MAX_FRAMES,
+        code_dim=cfg.MODEL.CODE_DIM,
+        backbone_dim=cfg.MODEL.BACKBONE_DIM,
+    )
+
+
+def load_faces(cfg, dataset=None) -> np.ndarray:
+    """SMPL faces from the body-model pickle; synthetic topology fallback."""
+    if cfg.DATASETS.TYPE == "synthetic":
+        return np.asarray(dataset.faces, np.int32)
+    smpl_path = os.environ.get("DSNERF_SMPL_PATH", cfg.DATASETS.SMPL_PATH)
+    return load_body_model(smpl_path).faces
+
+
+def load_render_state(ckpt_path: str, cfg, model=None):
+    """Eval scripts' parameter loading (validate.py:18-28 equivalent).
+
+    Returns (model, params)."""
+    import jax
+
+    model = model or build_model(cfg)
+    tx, _ = make_optimizer(cfg)
+    template = create_train_state(model, tx, jax.random.key(0))
+    ck = Checkpointer(os.path.dirname(ckpt_path) or ".")
+    params = ck.load_params_only(ckpt_path, template.params)
+    return model, params
+
+
+def eval_settings(cfg) -> RenderSettings:
+    return RenderSettings.from_cfg(cfg)

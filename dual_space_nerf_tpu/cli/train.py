@@ -1,0 +1,73 @@
+"""Training CLI.
+
+Surface-compatible with the reference's `main.py`:
+  python main.py -c configs/zju_mocap/313.yml --exp 313 [-s PSNR] [-r N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Train Dual-Space NeRF (TPU)")
+    parser.add_argument("-c", "--config", default="", help="config file path")
+    parser.add_argument("-g", "--gpu", type=int, default=0,
+                        help="unused (device selection is via JAX); kept for "
+                             "CLI compatibility")
+    parser.add_argument("-r", "--resume", type=int, default=0,
+                        help="checkpoint number to resume (auto-resumes from "
+                             "last_checkpoint when present)")
+    parser.add_argument("-s", "--psnr_thres", type=float, default=100.0)
+    parser.add_argument("-cont", "--cont", action="store_true")
+    parser.add_argument("-noise", "--add_noise", type=float, default=0.0)
+    parser.add_argument("--exp", type=str, default="test")
+    parser.add_argument("--max_epochs", type=int, default=0,
+                        help="override SOLVER.MAX_EPOCHS (0 = use config)")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    # seeds (main.py:22-26)
+    np.random.seed(233)
+
+    from ..data import select_dataset
+    from ..training.loop import do_train
+    from ..utils.logger import make_summary_writer, setup_logger
+    from .common import build_model, load_cfg, load_faces
+
+    cfg = load_cfg(args.config)
+
+    output_dir = os.path.join("EXP", args.exp)
+    os.makedirs(output_dir, exist_ok=True)
+    writer = make_summary_writer(output_dir)
+    writer.add_text("OUT_PATH", output_dir, 0)
+    logger = setup_logger("NERFRender", output_dir)
+    logger.info("Running with config:\n%s", cfg)
+    if args.config:
+        shutil.copyfile(args.config, os.path.join(output_dir, "config.yml"))
+
+    train_set, val_set = select_dataset(cfg, train_nrays=cfg.SOLVER.TRAIN_NRAYS)
+    logger.info("len train: %d, len val: %d", len(train_set), len(val_set))
+
+    model = build_model(cfg)
+    faces = load_faces(cfg, train_set)
+
+    state = do_train(
+        cfg, model, train_set, val_set, faces, writer, logger,
+        output_dir=output_dir, psnr_thres=args.psnr_thres,
+        resume=True,
+        max_epochs=args.max_epochs or None,
+    )
+    writer.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Host item dict -> fixed-shape device batches.
+
+The device side is compiled for a single static ray count, so host items are
+padded (rays replicated from the front of the batch, which is harmless for
+training because losses are means over real rays only when pad_weight is
+applied — for simplicity we pad by WRAPPING, which keeps the loss unbiased in
+expectation since wrapped rays are real rays drawn by the same sampler).
+
+Eval images are rendered in fixed-size chunks: `iter_ray_chunks` pads the
+tail chunk by wrapping and the caller slices the valid prefix.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..renderer import MeshBundle, RayBatch
+from ..training import TrainBatch
+
+
+def _wrap_pad(x: np.ndarray, n: int) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    reps = -(-n // x.shape[0])
+    return np.concatenate([x] * reps, axis=0)[:n]
+
+
+def item_to_train_batch(item: dict, nrays: int) -> TrainBatch:
+    rays = RayBatch(
+        ray_o=jnp.asarray(_wrap_pad(item["ray_o"], nrays), jnp.float32),
+        ray_d=jnp.asarray(_wrap_pad(item["ray_d"], nrays), jnp.float32),
+        near=jnp.asarray(_wrap_pad(item["near"], nrays), jnp.float32),
+        far=jnp.asarray(_wrap_pad(item["far"], nrays), jnp.float32),
+        frame=jnp.asarray(int(item["frame"]), jnp.int32),
+        body_pose=jnp.asarray(item["poses"][1:24], jnp.float32),
+    )
+    return TrainBatch(
+        rays=rays,
+        rgb=jnp.asarray(_wrap_pad(item["rgb"], nrays), jnp.float32),
+        occupancy=jnp.asarray(_wrap_pad(item["occupancy"], nrays), jnp.float32),
+    )
+
+
+def item_to_mesh(item: dict, faces: np.ndarray, verts_cano: np.ndarray) -> MeshBundle:
+    return MeshBundle(
+        faces=jnp.asarray(faces, jnp.int32),
+        verts_world=jnp.asarray(item["xyz"], jnp.float32),
+        verts_cano=jnp.asarray(verts_cano, jnp.float32),
+    )
+
+
+def iter_ray_chunks(
+    item: dict, chunk: int, frame_override: int | None = None
+) -> Iterator[tuple[RayBatch, int]]:
+    """Yield (RayBatch, n_valid) fixed-size chunks covering all image rays."""
+    n = item["ray_o"].shape[0]
+    frame = int(item["frame"]) if frame_override is None else frame_override
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        sl = slice(start, end)
+        valid = end - start
+
+        def pad(x):
+            x = x[sl]
+            if valid < chunk:
+                x = np.concatenate(
+                    [x, np.repeat(x[-1:], chunk - valid, axis=0)], axis=0
+                )
+            return x
+
+        yield (
+            RayBatch(
+                ray_o=jnp.asarray(pad(item["ray_o"]), jnp.float32),
+                ray_d=jnp.asarray(pad(item["ray_d"]), jnp.float32),
+                near=jnp.asarray(pad(item["near"]), jnp.float32),
+                far=jnp.asarray(pad(item["far"]), jnp.float32),
+                frame=jnp.asarray(frame, jnp.int32),
+                body_pose=jnp.asarray(item["poses"][1:24], jnp.float32),
+            ),
+            valid,
+        )

@@ -1,0 +1,87 @@
+"""Multi-worker host loader with device prefetch.
+
+Replaces the reference's torch DataLoader worker processes (`main.py:96-99`)
+with a thread pool (cv2/numpy release the GIL for the heavy parts: imread,
+undistort, resize) feeding a bounded queue. Items are prepared ahead of the
+train step so the TPU never waits on the host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator
+
+import numpy as np
+
+_SENTINEL = object()
+
+
+class PrefetchLoader:
+    """Iterates a dataset for one epoch with `num_workers` threads and a
+    `prefetch`-deep queue. Order is nondeterministic under shuffle (matches
+    torch DataLoader(shuffle=True) semantics)."""
+
+    def __init__(
+        self,
+        dataset,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 8,
+        seed: int | None = None,
+        transform: Callable | None = None,
+    ):
+        self.dataset = dataset
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+        self.transform = transform
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __iter__(self) -> Iterator:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+
+        idx_q: queue.Queue = queue.Queue()
+        for i in order:
+            idx_q.put(int(i))
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        n_alive = threading.Semaphore(0)
+
+        def worker():
+            try:
+                while True:
+                    try:
+                        i = idx_q.get_nowait()
+                    except queue.Empty:
+                        return
+                    item = self.dataset[i]
+                    if self.transform is not None:
+                        item = self.transform(item)
+                    out_q.put(item)
+            finally:
+                n_alive.release()
+
+        workers = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for w in workers:
+            w.start()
+
+        def closer():
+            for _ in workers:
+                n_alive.acquire()
+            out_q.put(_SENTINEL)
+
+        threading.Thread(target=closer, daemon=True).start()
+
+        while True:
+            item = out_q.get()
+            if item is _SENTINEL:
+                return
+            yield item

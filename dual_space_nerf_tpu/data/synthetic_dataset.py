@@ -1,0 +1,99 @@
+"""Dataset-API wrapper around the synthetic capsule scene.
+
+Yields item dicts with the same schema as the ZJU dataset (data/zju.py), so
+the whole train/eval stack — including `select_dataset`, batching, the train
+loop, and the eval scripts — runs end-to-end with zero external assets
+(`cfg.DATASETS.TYPE = "synthetic"`).
+
+Ground-truth images are rendered by z-buffered vertex splatting with colors
+from the smooth canonical emission field.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .rays import sample_rays
+from .synthetic import SyntheticScene, emission_color, make_scene
+
+
+def splat_image(scene: SyntheticScene, h: int, w: int, radius: int = 2):
+    """Project verts, z-buffer splat emission colors -> (img, mask)."""
+    verts = scene.verts_world
+    cam = verts @ scene.R.T + scene.T.ravel()
+    z = cam[:, 2]
+    pix = cam @ scene.K.T
+    pix = (pix[:, :2] / pix[:, 2:]).astype(np.int32)
+
+    img = np.zeros((h, w, 3), np.float32)
+    zbuf = np.full((h, w), np.inf, np.float32)
+    colors = emission_color(scene.verts_cano).astype(np.float32)
+    order = np.argsort(-z)  # far to near: near splats overwrite
+    ys = pix[order, 1]
+    xs = pix[order, 0]
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            yy = np.clip(ys + dy, 0, h - 1)
+            xx = np.clip(xs + dx, 0, w - 1)
+            img[yy, xx] = colors[order]
+            zbuf[yy, xx] = z[order]
+    mask = (zbuf < np.inf).astype(np.uint8)
+    img *= mask[..., None]
+    return img, mask
+
+
+class SyntheticDataset:
+    """n_frames poses x n_views cameras of the capsule avatar."""
+
+    def __init__(
+        self, split="train", nrays=1024, n_frames=2, n_views=3,
+        h=96, w=96, seed=0,
+    ):
+        self.split = split
+        self.nrays = nrays if split == "train" else -1
+        self.h, self.w = h, w
+        self.rng = np.random.default_rng(seed)
+        self.items = []
+        for f in range(n_frames):
+            for v in range(n_views):
+                self.items.append(
+                    (f, v, make_scene(
+                        seed=seed, bend=0.3 + 0.05 * f,
+                        cam_angle=2 * np.pi * v / n_views, h=h, w=w,
+                    ))
+                )
+        self.canonical_vertex = self.items[0][2].verts_cano
+        self.faces = self.items[0][2].faces
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        frame, view, scene = self.items[idx]
+        img, mask = splat_image(scene, self.h, self.w)
+        rgb, ray_o, ray_d, near, far, coord, mask_at_box, bound_mask = sample_rays(
+            img, scene.K, scene.R, scene.T, scene.bounds,
+            mask=mask, face_mask=None, nrays=self.nrays, rng=self.rng,
+        )
+        occupancy = mask[coord[:, 0], coord[:, 1]]
+        return {
+            "img": img,
+            "coord": coord,
+            "rgb": rgb,
+            "occupancy": occupancy.astype(np.float32),
+            "ray_o": ray_o,
+            "ray_d": ray_d,
+            "near": near,
+            "far": far,
+            "mask_at_box": mask_at_box,
+            "poses": scene.poses,
+            "xyz": scene.verts_world,
+            "bounds": scene.bounds,
+            "Rh": np.eye(3, dtype=np.float32),
+            "Th": np.zeros((1, 3), np.float32),
+            "R": scene.R,
+            "T": scene.T,
+            "frame": frame,
+            "cam_ind": view,
+            "save_name": f"frame{frame:04d}_view{view:04d}",
+        }

@@ -1,0 +1,93 @@
+"""Full-image rendering (eval path).
+
+Equivalent of the reference's `Renderer.render_view` + `post_process`
+(`can_render.py:172-278`, `render_utils.py:466-472`): rays inside the AABB
+mask are rendered in fixed-size jitted chunks and scattered back into the
+H x W canvas. One compiled executable serves every image and every light
+state (light params are traced inputs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+from ..data.batching import item_to_mesh, iter_ray_chunks
+from ..renderer import LightState, RenderSettings, render_rays
+
+
+class ImageRenderer:
+    def __init__(
+        self,
+        model,
+        params,
+        settings: RenderSettings,
+        faces: np.ndarray,
+        verts_cano: np.ndarray,
+        chunk: int = 4096,
+    ):
+        self.model = model
+        self.params = params
+        self.settings = settings
+        self.faces = faces
+        self.verts_cano = verts_cano
+        self.chunk = chunk
+
+        @jax.jit
+        def _render_chunk(params, rays, mesh, light):
+            return render_rays(
+                params, model, rays, mesh, settings, light, None, train=False
+            )
+
+        self._render_chunk = _render_chunk
+
+    def render_item(
+        self,
+        item: dict,
+        light: LightState | None = None,
+        frame_override: int | None = None,
+    ) -> dict[str, np.ndarray]:
+        """Returns dict of full-image float arrays: color (H, W, 3),
+        disp/acc/depth (H, W, 1)."""
+        light = light if light is not None else LightState.identity()
+        mesh = item_to_mesh(item, self.faces, self.verts_cano)
+
+        parts = {"color": [], "disp_map": [], "acc_map": [], "depth_map": []}
+        for rays, valid in iter_ray_chunks(item, self.chunk, frame_override):
+            out = self._render_chunk(self.params, rays, mesh, light)
+            for k in parts:
+                parts[k].append(np.asarray(out[k][:valid]))
+
+        H, W = item["img"].shape[:2]
+        mask = np.asarray(item["mask_at_box"]).reshape(-1).astype(bool)
+
+        def scatter(vals: np.ndarray, c: int) -> np.ndarray:
+            canvas = np.zeros((H * W, c), np.float32)
+            canvas[mask] = vals.reshape(-1, c)
+            return canvas.reshape(H, W, c)
+
+        return {
+            "coarse_color": scatter(np.concatenate(parts["color"]), 3),
+            "coarse_disp": scatter(np.concatenate(parts["disp_map"])[:, None], 1),
+            "coarse_acc": scatter(np.concatenate(parts["acc_map"])[:, None], 1),
+            "coarse_depth": scatter(np.concatenate(parts["depth_map"])[:, None], 1),
+        }
+
+
+def light_state_for_novel_pose(
+    light_center, Th: np.ndarray, code_scale: float = 0.0
+) -> LightState:
+    """The reference's novel-pose inference setup: frame code zeroed
+    (`test.py:196`) and world coords shifted so the subject sits at the
+    trained light_center (`spacenet.py:260-263`)."""
+    import jax.numpy as jnp
+
+    base = LightState.identity()
+    if light_center is not None and len(np.ravel(light_center)) == 3:
+        bias = np.asarray(light_center, np.float32) - np.asarray(
+            Th, np.float32
+        ).reshape(-1, 3).mean(axis=0)
+        base = base._replace(light_bias=jnp.asarray(bias))
+    return base._replace(code_scale=jnp.asarray(code_scale, jnp.float32))

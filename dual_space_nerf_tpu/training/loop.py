@@ -1,0 +1,133 @@
+"""The training loop.
+
+Behavioral reference: `trainer.py:12-160` (`do_train`): epoch loop over the
+loader (1 image -> nrays rays per step), per-iteration scheduler, TB scalars
+every 50 iterations, rays/s logging every LOG_PERIOD, per-epoch checkpoint,
+validation every 40 epochs, psnr-threshold early stop.
+
+TPU re-design: the host loader runs ahead in threads; the device step is one
+compiled function; metrics transfer off-device only on log iterations so the
+step stream never stalls.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from ..data import PrefetchLoader, item_to_mesh, item_to_train_batch
+from ..renderer import RenderSettings
+from .checkpoint import Checkpointer, PeriodicCheckpointer
+from .optim import make_optimizer
+from .state import TrainState, create_train_state, make_train_step
+
+
+def do_train(
+    cfg,
+    model,
+    train_set,
+    val_set,
+    faces: np.ndarray,
+    writer,
+    logger,
+    output_dir: str,
+    psnr_thres: float = 100.0,
+    resume: bool = True,
+    val_fn=None,
+    mesh_devices=None,
+    max_epochs: int | None = None,
+):
+    """Returns the final TrainState."""
+    settings = RenderSettings.from_cfg(cfg)
+    tx, lr_fn = make_optimizer(cfg)
+    state = create_train_state(model, tx, jax.random.key(233))
+    nrays = cfg.SOLVER.TRAIN_NRAYS
+
+    checkpointer = Checkpointer(output_dir)
+    state, resume_epoch = checkpointer.resume_or_load("", state, resume=resume)
+    periodic = PeriodicCheckpointer(
+        checkpointer, cfg.SOLVER.CHECKPOINT_PERIOD, cfg.SOLVER.MAX_EPOCHS
+    )
+
+    step_fn = make_train_step(
+        model, tx, settings,
+        loss_type=cfg.MODEL.LOSS, loss_with_mask=cfg.MODEL.LOSSwMask,
+        mesh=mesh_devices,
+    )
+
+    verts_cano = train_set.canonical_vertex
+    log_period = cfg.SOLVER.LOG_PERIOD
+    rng = jax.random.key(233)
+    max_epochs = max_epochs or cfg.SOLVER.MAX_EPOCHS
+
+    loader = PrefetchLoader(
+        train_set, shuffle=True,
+        num_workers=cfg.DATALOADER.NUM_WORKERS, seed=233,
+    )
+
+    global_step = int(state.step)
+    for epoch in range(1 + resume_epoch, max_epochs):
+        logger.info("Training Epoch %d...", epoch)
+        psnr_monitor = []
+        epoch_start = time.time()
+        iters_start = epoch_start
+        pending = None  # (metrics, step) — read one step late to overlap
+
+        for batch_idx, item in enumerate(loader):
+            batch = item_to_train_batch(item, nrays)
+            geom = item_to_mesh(item, faces, verts_cano)
+            state, metrics = step_fn(state, batch, geom, rng)
+            global_step += 1
+
+            if pending is not None:
+                m, gstep, bidx = pending
+                psnr_v = float(m["psnr"])
+                psnr_monitor.append(psnr_v)
+                if bidx % 50 == 0:
+                    for key, v in m.items():
+                        if key.startswith("loss"):
+                            writer.add_scalar(f"Loss/{key}", float(v), gstep)
+                    writer.add_scalar("Loss/loss_sum", float(m["loss"]), gstep)
+                    writer.add_scalar("TrainPsnr", psnr_v, gstep)
+                    writer.add_scalar("LR", float(lr_fn(gstep)), gstep)
+                if bidx % log_period == 0:
+                    dt = time.time() - iters_start
+                    iters_start = time.time()
+                    rays_per_s = log_period * nrays / max(dt, 1e-9)
+                    logger.info(
+                        "Epoch[%d] Iteration[%d/%d] Loss: %.3e Psnr: %.2f "
+                        "Lr: %.2e Speed: %.1f[rays/s]",
+                        epoch, bidx, len(loader), float(m["loss"]), psnr_v,
+                        float(lr_fn(gstep)), rays_per_s,
+                    )
+            pending = (metrics, global_step, batch_idx)
+
+        if pending is not None:
+            psnr_monitor.append(float(pending[0]["psnr"]))
+
+        periodic.step_by_epoch(epoch, state)
+        if val_fn is not None and epoch % 40 == 0 and epoch != 0:
+            res = val_fn(state, epoch)
+            for key, v in res.items():
+                writer.add_scalar(f"Val/{key}", v, epoch)
+            logger.info(
+                "Validation Results - Epoch: %d psnr_wMask: %.3f",
+                epoch, res.get("psnr_wMask", float("nan")),
+            )
+
+        epoch_time = time.time() - epoch_start
+        logger.info(
+            "Epoch %d done. Time: %.3f[s] Speed: %.1f[rays/s]",
+            epoch, epoch_time, len(loader) * nrays / max(epoch_time, 1e-9),
+        )
+
+        mean_psnr = float(np.mean(psnr_monitor)) if psnr_monitor else 0.0
+        if mean_psnr > psnr_thres:
+            logger.info(
+                "Mean Psnr %.3f > threshold %.3f, training stopped",
+                mean_psnr, psnr_thres,
+            )
+            break
+    return state

@@ -1,0 +1,144 @@
+"""Host data pipeline tests: ray sampling, synthetic dataset, batching,
+prefetch, rigid transforms."""
+
+import numpy as np
+import pytest
+
+from dual_space_nerf_tpu.data import (
+    PrefetchLoader,
+    SyntheticDataset,
+    item_to_mesh,
+    item_to_train_batch,
+    iter_ray_chunks,
+    make_scene,
+)
+from dual_space_nerf_tpu.data.h36m import (
+    batch_rodrigues,
+    get_rigid_transformation,
+)
+from dual_space_nerf_tpu.data.rays import (
+    get_near_far_h36m,
+    get_near_far_zju,
+    get_rays,
+    sample_rays,
+)
+
+
+def test_get_rays_geometry():
+    scene = make_scene(n_theta=6, n_phi=6, h=32, w=32)
+    ray_o, ray_d = get_rays(32, 32, scene.K, scene.R, scene.T)
+    eye = (-scene.R.T @ scene.T).ravel()
+    np.testing.assert_allclose(ray_o[0, 0], eye, atol=1e-6)
+    # center pixel ray ~ camera forward axis
+    fwd = scene.R[2]
+    c = ray_d[16, 16] / np.linalg.norm(ray_d[16, 16])
+    assert np.dot(c, fwd) > 0.99
+
+
+def test_near_far_zju_matches_h36m_on_hits(rng_np):
+    bounds = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]])
+    ray_o = np.tile(np.array([[0.0, 0.0, -5.0]]), (64, 1))
+    dirs = rng_np.normal(size=(64, 3)) * 0.1 + np.array([0, 0, 1.0])
+    near_z, far_z, mask_z = get_near_far_zju(bounds, ray_o, dirs)
+    # feed H36M the ZJU-inflated box (+-1cm) so the two are comparable
+    inflated = bounds + np.array([-0.01, 0.01])[:, None]
+    near_h, far_h, mask_h = get_near_far_h36m(inflated, ray_o, dirs.copy())
+    common = mask_z & mask_h
+    iz = np.cumsum(mask_z) - 1
+    ih = np.cumsum(mask_h) - 1
+    for i in np.where(common)[0]:
+        np.testing.assert_allclose(near_z[iz[i]], near_h[ih[i]], atol=1e-3)
+        np.testing.assert_allclose(far_z[iz[i]], far_h[ih[i]], atol=1e-3)
+
+
+def test_sample_rays_exact_count_and_sources():
+    scene = make_scene(n_theta=14, n_phi=12, h=96, w=96)
+    from dual_space_nerf_tpu.data.synthetic_dataset import splat_image
+
+    img, mask = splat_image(scene, 96, 96)
+    rgb, ray_o, ray_d, near, far, coord, mab, bound_mask = sample_rays(
+        img, scene.K, scene.R, scene.T, scene.bounds, mask=mask,
+        nrays=256, rng=np.random.default_rng(0),
+    )
+    assert rgb.shape == (256, 3)
+    assert ray_o.shape == (256, 3)
+    assert (near < far).all()
+    assert mab.all()
+    # sampled coords must lie in the projected bbox or body mask
+    inside = bound_mask[coord[:, 0], coord[:, 1]] | mask[coord[:, 0], coord[:, 1]]
+    assert inside.mean() > 0.99
+
+
+def test_sample_rays_full_image_mode():
+    scene = make_scene(n_theta=14, n_phi=12, h=64, w=64)
+    from dual_space_nerf_tpu.data.synthetic_dataset import splat_image
+
+    img, mask = splat_image(scene, 64, 64)
+    rgb, ray_o, ray_d, near, far, coord, mab, _ = sample_rays(
+        img, scene.K, scene.R, scene.T, scene.bounds, mask=mask, nrays=-1,
+    )
+    assert mab.shape == (64 * 64,)
+    assert rgb.shape[0] == mab.sum()
+    assert rgb.shape[0] > 100  # the capsule is visible
+
+
+def test_synthetic_dataset_item_schema():
+    ds = SyntheticDataset(split="train", nrays=128, n_frames=2, n_views=2)
+    assert len(ds) == 4
+    item = ds[1]
+    for key in ("img", "rgb", "ray_o", "ray_d", "near", "far", "occupancy",
+                "poses", "xyz", "frame", "mask_at_box", "save_name"):
+        assert key in item, key
+    assert item["rgb"].shape == (128, 3)
+    assert item["poses"].shape == (24, 3)
+    assert item["xyz"].shape[1] == 3
+
+
+def test_item_to_train_batch_pads_by_wrapping():
+    ds = SyntheticDataset(split="train", nrays=100, n_frames=1, n_views=1)
+    item = ds[0]
+    batch = item_to_train_batch(item, nrays=256)
+    assert batch.rays.ray_o.shape == (256, 3)
+    assert batch.rgb.shape == (256, 3)
+    np.testing.assert_array_equal(
+        np.asarray(batch.rays.ray_d[100:200]), item["ray_d"][:100]
+    )
+
+
+def test_iter_ray_chunks_covers_image():
+    ds = SyntheticDataset(split="val", n_frames=1, n_views=1, h=64, w=64)
+    item = ds[0]
+    n = item["ray_o"].shape[0]
+    total = 0
+    for rays, valid in iter_ray_chunks(item, chunk=500):
+        assert rays.ray_o.shape == (500, 3)
+        total += valid
+    assert total == n
+
+
+def test_prefetch_loader_yields_all_items():
+    ds = SyntheticDataset(split="train", nrays=32, n_frames=2, n_views=3)
+    loader = PrefetchLoader(ds, shuffle=True, num_workers=3, seed=0)
+    items = list(loader)
+    assert len(items) == len(ds)
+    names = sorted(i["save_name"] for i in items)
+    assert names == sorted(ds[i]["save_name"] for i in range(len(ds)))
+
+
+def test_batch_rodrigues_identity_and_known():
+    R = batch_rodrigues(np.zeros((1, 3)))
+    np.testing.assert_allclose(R[0], np.eye(3), atol=1e-6)
+    R = batch_rodrigues(np.array([[0.0, 0.0, np.pi / 2]]))
+    np.testing.assert_allclose(
+        R[0], [[0, -1, 0], [1, 0, 0], [0, 0, 1]], atol=1e-6
+    )
+
+
+def test_rigid_transformation_rest_pose_is_identity():
+    joints = np.random.default_rng(0).normal(size=(24, 3))
+    parents = np.concatenate([[-1], np.zeros(23, int)])
+    A = get_rigid_transformation(np.zeros((24, 3)), joints, parents)
+    assert A.shape == (24, 4, 4)
+    for j in range(24):
+        np.testing.assert_allclose(A[j, :3, :3], np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(A[j, :3, 3], 0.0, atol=1e-6)
