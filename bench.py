@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Training-throughput benchmark (rays/sec/chip).
+
+Measures the reference workload's hot path — one full training step at the
+shipped ZJU-313 configuration — on whatever accelerator JAX provides:
+
+- 5500 rays x 64 samples/ray (`main.py:94`, `configs/zju_mocap/313.yml:4`)
+- SMPL-sized mesh: V=6890 / F=13776, GG geometry-guided sampling
+- full dual-space pipeline: GG near/far -> warp (Pallas nearest-face KNN) ->
+  SpaceNet + vjp normals (second-order) -> LightingMLP -> composite ->
+  MSE loss -> grads -> Adam update
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); its torch
+single-GPU pipeline logs rays/s via `trainer.py:97-108`. We use an assumed
+reference throughput of 5,000 rays/s (order-of-magnitude for this ~0.5M-param
+torch model with pytorch3d KNN on one 2021-era GPU; BASELINE.md records the
+assumption) so vs_baseline = measured / 5000.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+ASSUMED_REFERENCE_RAYS_PER_S = 5000.0
+NRAYS = 5500
+N_SAMPLES = 64
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dual_space_nerf_tpu.cli.common import build_model
+    from dual_space_nerf_tpu.config import get_cfg_defaults
+    from dual_space_nerf_tpu.data.synthetic import make_scene
+    from dual_space_nerf_tpu.renderer import MeshBundle, RayBatch, RenderSettings
+    from dual_space_nerf_tpu.training import (
+        TrainBatch,
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = get_cfg_defaults()
+    cfg.SOLVER.WEIGHT_DECAY = 0.0
+    cfg.MODEL.COARSE_RAY_SAMPLING = N_SAMPLES
+    cfg.MODEL.sample_points_mode = "GG"
+
+    model = build_model(cfg)
+    settings = RenderSettings(
+        n_samples=N_SAMPLES,
+        sample_mode="GG",
+        mlp_chunk=cfg.MODEL.MLP_CHUNK,
+        knn_impl="auto",
+        remat=True,
+    )
+
+    rng = np.random.default_rng(0)
+    scene = make_scene()  # V=6890, F=13776
+    geom = MeshBundle(
+        faces=jnp.asarray(scene.faces),
+        verts_world=jnp.asarray(scene.verts_world),
+        verts_cano=jnp.asarray(scene.verts_cano),
+    )
+    eye = (-scene.R.T @ scene.T).ravel()
+    targets = scene.verts_world[rng.integers(0, len(scene.verts_world), NRAYS)]
+    d = (targets + 0.03 * rng.standard_normal((NRAYS, 3)) - eye).astype(np.float32)
+    rays = RayBatch(
+        ray_o=jnp.asarray(np.broadcast_to(eye, (NRAYS, 3)), jnp.float32),
+        ray_d=jnp.asarray(d),
+        near=jnp.full((NRAYS,), 0.5, jnp.float32),
+        far=jnp.full((NRAYS,), 3.5, jnp.float32),
+        frame=jnp.asarray(0, jnp.int32),
+        body_pose=jnp.asarray(scene.poses[1:], jnp.float32),
+    )
+    batch = TrainBatch(
+        rays=rays,
+        rgb=jnp.asarray(rng.random((NRAYS, 3)), jnp.float32),
+        occupancy=jnp.ones((NRAYS,), jnp.float32),
+    )
+
+    tx, _ = make_optimizer(cfg)
+    state = create_train_state(model, tx, jax.random.key(0))
+    step = make_train_step(model, tx, settings, loss_type="L2")
+    key = jax.random.key(1)
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch, geom, key)
+    float(metrics["loss"])  # device->host copy: a true execution barrier
+    # (block_until_ready alone does not flush the axon remote executor)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch, geom, key)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_s = NRAYS * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s @ 64 samples/ray, full train step",
+                "vs_baseline": round(rays_per_s / ASSUMED_REFERENCE_RAYS_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,11 +38,19 @@ def main(argv=None):
     np.random.seed(233)
 
     from ..data import select_dataset
+    from ..parallel import local_ray_mesh, pad_rays_for_mesh
     from ..training.loop import do_train
     from ..utils.logger import make_summary_writer, setup_logger
     from .common import build_model, load_cfg, load_faces
 
     cfg = load_cfg(args.config)
+    mesh_devices = local_ray_mesh()
+    if mesh_devices is not None:
+        cfg.defrost()
+        cfg.SOLVER.TRAIN_NRAYS = pad_rays_for_mesh(
+            cfg.SOLVER.TRAIN_NRAYS, mesh_devices
+        )
+        cfg.freeze()
 
     output_dir = os.path.join("EXP", args.exp)
     os.makedirs(output_dir, exist_ok=True)

@@ -28,8 +28,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_P = 1024   # points per grid step
-_BLOCK_F = 2048   # centroid tile inside the kernel
+# Tile sizes bound VMEM: the live set per grid step is the (P, F-tile)
+# distance matrix + an equally-shaped iota + carries, x compiler double
+# buffering. (512, 1024) keeps the scoped allocation well under the 16 MB
+# VMEM budget with headroom for the pipelined point blocks.
+_BLOCK_P = 512    # points per grid step
+_BLOCK_F = 1024   # centroid tile inside the kernel
 _PAD_DIST = 1e30  # sentinel for padded centroids
 
 
