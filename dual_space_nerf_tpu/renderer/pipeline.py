@@ -201,11 +201,16 @@ def _point_network(
     frame_idx,      # (n,) int32
     pose_feat,      # (n, 16)
     code_scale,     # ()
-    mesh: MeshBundle,
-    centroids_c,
-    settings: RenderSettings,
+    tris_c2,        # (n, 3, 3) canonical tris nearest to pts_c (precomputed)
+    tris_w2,        # (n, 3, 3) the same faces on the posed mesh
 ):
-    """color (n, 3), sigma (n,) for one chunk of points."""
+    """color (n, 3), sigma (n,) for one chunk of points.
+
+    The nearest-face searches are NOT here: they are parameter-independent
+    (pure functions of the batch + mesh) and are hoisted out of the
+    differentiated/rematerialized region by the caller, so the backward pass
+    and remat never recompute a KNN.
+    """
 
     def sigma_essence(xc):
         essence, density = model.apply(
@@ -226,9 +231,16 @@ def _point_network(
         (jnp.zeros_like(essence), jnp.ones_like(density))
     )[0]
 
-    normal_w = normal_canonical_to_world(
-        pts_c, normal_local, mesh, centroids_c, settings
+    # canonical -> world normal transport on the precomputed face pairing
+    uv, h = project_point2mesh(pts_c, tris_c2)
+    start_w = barycentric_map(uv, h, tris_w2)
+    uv2, h2 = project_point2mesh(pts_c + normal_local, tris_c2)
+    end_w = barycentric_map(uv2, h2, tris_w2)
+    nrm = end_w - start_w
+    normal_w = nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12
     )
+
     color = model.apply(
         params, normal_w, pts_w, dir_w, essence, method="lighting"
     )
@@ -301,25 +313,33 @@ def render_rays(
     centroids_w = face_centroids(mesh.verts_world, mesh.faces)
     centroids_c = face_centroids(mesh.verts_cano, mesh.faces)
 
+    # ---- parameter-independent stage: warp + both nearest-face searches ----
+    # Nothing here depends on params, so it sits outside the loss gradient
+    # and outside remat: each KNN runs exactly once per step.
+    pts_c_flat, tmask_flat, _, _ = warp_world_to_canonical(
+        pts_w_flat, mesh, centroids_w, settings,
+        ray_d_w=dir_w_flat if settings.warp_dirs else None,
+    )
+    cidx = nearest_face(pts_c_flat, centroids_c, settings.knn_impl)
+    tri2_vidx = mesh.faces[cidx]
+    tris_c2_flat = mesh.verts_cano[tri2_vidx]
+    tris_w2_flat = mesh.verts_world[tri2_vidx]
+
     pose_feat = model.apply(
         params, batch.body_pose, method="pose_feature"
     )  # (16,)
     frame_flat = jnp.full((n,), batch.frame, jnp.int32)
 
+    # ---- parameter-dependent stage: the networks (chunked + remat) ----
     def chunk_fn(chunk_args):
-        pw, dw, fi = chunk_args
-        pc, tmask, _, _ = warp_world_to_canonical(
-            pw, mesh, centroids_w, settings,
-            ray_d_w=dw if settings.warp_dirs else None,
-        )
+        pw, dw, fi, pc, tmask, tc2, tw2 = chunk_args
         # Inference-time light-space manipulation of the *world* coords seen
         # by the LightingMLP (`spacenet.py:254-263`).
         xy = (pw[:, :2] - light.rot_center[:2]) @ light.rot + light.rot_center[:2]
         pw_light = jnp.concatenate([xy, pw[:, 2:]], axis=-1) + light.light_bias
         pf = jnp.broadcast_to(pose_feat, (pw.shape[0], pose_feat.shape[-1]))
         color, sigma = _point_network(
-            params, model, pw_light, pc, dw, fi, pf, light.code_scale,
-            mesh, centroids_c, settings,
+            params, model, pw_light, pc, dw, fi, pf, light.code_scale, tc2, tw2
         )
         sigma = jnp.where(tmask, 0.0, sigma)
         return color, sigma
@@ -328,7 +348,9 @@ def render_rays(
         chunk_fn = jax.checkpoint(chunk_fn)
 
     color_flat, sigma_flat = _chunked_points(
-        chunk_fn, n, min(settings.mlp_chunk, n), (pts_w_flat, dir_w_flat, frame_flat)
+        chunk_fn, n, min(settings.mlp_chunk, n),
+        (pts_w_flat, dir_w_flat, frame_flat, pts_c_flat, tmask_flat,
+         tris_c2_flat, tris_w2_flat),
     )
 
     color = color_flat.reshape(r, s, 3)
