@@ -64,31 +64,36 @@ def nearest_face_xla(pts: jnp.ndarray, centroids: jnp.ndarray) -> jnp.ndarray:
 # --------------------------------------------------------------------------
 # Pallas kernel
 # --------------------------------------------------------------------------
-def _nearest_kernel(pts_ref, cent_ref, cent_norm_ref, idx_ref, *, n_f_tiles):
+def _nearest_kernel(pts_ref, cent_norm_ref, idx_ref, *, n_f_tiles):
     """One grid step: BLOCK_P points vs all centroid tiles.
 
     pts_ref:       (BLOCK_P, 3)   VMEM
-    cent_ref:      (F_pad, 3)     VMEM (resident across grid steps)
-    cent_norm_ref: (1, F_pad)     VMEM precomputed |c|^2 (padded tiles = 1e30)
+    cent_norm_ref: (3, F_pad)     VMEM transposed centroids, resident across
+                                  grid steps; padded columns = 1e15 so they
+                                  never win the argmin
     idx_ref:       (BLOCK_P, 1)   VMEM int32 output
     """
     pts = pts_ref[:]                                            # (P, 3)
-    p2 = jnp.sum(pts * pts, axis=-1, keepdims=True)             # (P, 1)
+    # per-coordinate columns, kept 2-D for the VPU
+    px = pts[:, 0:1]
+    py = pts[:, 1:2]
+    pz = pts[:, 2:3]
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (pts.shape[0], _BLOCK_F), 1)
 
     def body(t, carry):
         best_d, best_i = carry
         start = t * _BLOCK_F
-        cent = cent_ref[pl.ds(start, _BLOCK_F), :]              # (BF, 3)
-        c2 = cent_norm_ref[:, pl.ds(start, _BLOCK_F)]           # (1, BF)
-        cross = jax.lax.dot_general(
-            pts, cent,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                       # (P, BF)
-        d2 = p2 - 2.0 * cross + c2
+        # centroids transposed to (3, BF) so each coordinate is a full
+        # lane-aligned row; d^2 via VPU broadcast (exact f32) instead of a
+        # K=3 MXU dot, which is output-rate bound (~40ms for 4.8G outputs)
+        cx = cent_norm_ref[0:1, pl.ds(start, _BLOCK_F)]         # (1, BF)
+        cy = cent_norm_ref[1:2, pl.ds(start, _BLOCK_F)]
+        cz = cent_norm_ref[2:3, pl.ds(start, _BLOCK_F)]
+        dx = px - cx
+        dy = py - cy
+        dz = pz - cz
+        d2 = dx * dx + dy * dy + dz * dz                        # (P, BF)
         tile_min = jnp.min(d2, axis=-1, keepdims=True)          # (P, 1)
         # first-match argmin via iota-select (robust on Mosaic)
         cand = jnp.where(d2 <= tile_min, lane_ids, _BLOCK_F)
@@ -115,12 +120,12 @@ def nearest_face_pallas(
     f_pad = -(-f // _BLOCK_F) * _BLOCK_F
 
     pts_p = jnp.pad(pts.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
-    cent_p = jnp.pad(centroids.astype(jnp.float32), ((0, f_pad - f), (0, 0)))
-    c2 = jnp.sum(cent_p * cent_p, axis=-1)
-    # Padded centroids must never win the argmin.
-    c2 = jnp.where(
-        jnp.arange(f_pad) < f, c2, jnp.float32(_PAD_DIST)
-    )[None, :]
+    # (3, F_pad) transposed layout: each coordinate is one lane-aligned row;
+    # padded centroids sit at 1e15 so they never win the argmin
+    cent_t = jnp.full((3, f_pad), jnp.float32(1e15))
+    cent_t = jax.lax.dynamic_update_slice(
+        cent_t, centroids.astype(jnp.float32).T, (0, 0)
+    )
 
     n_f_tiles = f_pad // _BLOCK_F
     grid = (n_pad // _BLOCK_P,)
@@ -130,14 +135,13 @@ def nearest_face_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((_BLOCK_P, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((f_pad, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, f_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_BLOCK_P, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         interpret=interpret,
-    )(pts_p, cent_p, c2)
+    )(pts_p, cent_t)
     return idx[:n, 0]
 
 
@@ -145,11 +149,25 @@ def nearest_face_pallas(
 # Dispatch
 # --------------------------------------------------------------------------
 def nearest_face(
-    pts: jnp.ndarray, centroids: jnp.ndarray, impl: str = "auto"
+    pts: jnp.ndarray,
+    centroids: jnp.ndarray,
+    impl: str = "auto",
+    cluster_table: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Nearest-centroid index per point. impl: auto | pallas | xla."""
+    """Nearest-centroid index per point.
+
+    impl: auto | clustered | pallas | xla. "auto" picks the Pallas brute
+    force on TPU (the cluster-pruned variants reduce distance WORK ~10x but
+    their XLA gathers currently make them slower wall-clock on TPU — kept as
+    opt-in pending a fused kernel) and XLA elsewhere.
+    """
+    from .clustered_knn import nearest_face_clustered
+
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "clustered":
+        assert cluster_table is not None, "clustered impl needs a cluster table"
+        return nearest_face_clustered(pts, centroids, cluster_table)
     if impl == "pallas":
         return nearest_face_pallas(pts, centroids)
     return nearest_face_xla(pts, centroids)

@@ -43,12 +43,15 @@ from ..geometry import (
     transparent_mask,
 )
 from ..ops import face_centroids, nearest_face
+from ..ops.clustered_knn import nearest_face_grouped
 
 
 class MeshBundle(NamedTuple):
     """Per-frame posed mesh + per-sequence canonical mesh.
 
     faces: (F, 3) int32; verts_world: (V, 3); verts_cano: (V, 3).
+    cluster_table: optional (C, cap) int32 balanced face partition
+    (ops/clustered_knn.py) enabling the pruned nearest-face search.
     Equivalent of the reference's `canonical_model` + per-batch `xyz`
     (`can_render.py:382-406`).
     """
@@ -56,6 +59,7 @@ class MeshBundle(NamedTuple):
     faces: jnp.ndarray
     verts_world: jnp.ndarray
     verts_cano: jnp.ndarray
+    cluster_table: jnp.ndarray | None = None
 
 
 class RayBatch(NamedTuple):
@@ -133,13 +137,19 @@ def warp_world_to_canonical(
     centroids_w: jnp.ndarray,
     settings: RenderSettings,
     ray_d_w: jnp.ndarray | None = None,
+    fidx: jnp.ndarray | None = None,
 ):
     """Barycentric-project points onto the posed mesh, rebuild on canonical.
 
     pts_w: (N, 3). Returns (pts_cano (N, 3), tmask (N,), face_idx (N,),
     ray_d_cano (N, 3) | None). Reference: `can_render.py:333-379`.
+    fidx: optional precomputed nearest-face indices (the renderer supplies
+    the ray-grouped search's result).
     """
-    fidx = nearest_face(pts_w, centroids_w, settings.knn_impl)      # (N,)
+    if fidx is None:
+        fidx = nearest_face(
+            pts_w, centroids_w, settings.knn_impl, mesh.cluster_table
+        )                                                           # (N,)
     tri_vidx = mesh.faces[fidx]                                     # (N, 3)
     tris_w = mesh.verts_world[tri_vidx]                             # (N, 3, 3)
     tris_c = mesh.verts_cano[tri_vidx]                              # (N, 3, 3)
@@ -175,7 +185,9 @@ def normal_canonical_to_world(
     `spacenet.py:278-298`), then transports both the point and its offset
     along the gradient through the same triangle on the posed mesh.
     """
-    cidx = nearest_face(pts_c, centroids_c, settings.knn_impl)
+    cidx = nearest_face(
+        pts_c, centroids_c, settings.knn_impl, mesh.cluster_table
+    )
     tri_vidx = mesh.faces[cidx]
     tris_c = mesh.verts_cano[tri_vidx]
     tris_w = mesh.verts_world[tri_vidx]
@@ -315,12 +327,41 @@ def render_rays(
 
     # ---- parameter-independent stage: warp + both nearest-face searches ----
     # Nothing here depends on params, so it sits outside the loss gradient
-    # and outside remat: each KNN runs exactly once per step.
+    # and outside remat: each KNN runs exactly once per step. With a cluster
+    # table, the ray-grouped search shares one candidate set across a ray's
+    # S samples (~15x less distance work than brute force).
+    use_grouped = (
+        settings.knn_impl == "grouped" and mesh.cluster_table is not None
+    )
+    # sub-groups of consecutive samples share one candidate set; 4 keeps the
+    # group tight enough that near-surface results match brute force exactly
+    # (see tests/test_clustered_knn.py)
+    gsz = s
+    for cand in (4, 2, 1):
+        if s % cand == 0:
+            gsz = cand
+            break
+
+    if use_grouped:
+        fidx_w = nearest_face_grouped(
+            pts_w.reshape(n // gsz, gsz, 3), centroids_w, mesh.cluster_table
+        ).reshape(n)
+    else:
+        fidx_w = None
     pts_c_flat, tmask_flat, _, _ = warp_world_to_canonical(
         pts_w_flat, mesh, centroids_w, settings,
         ray_d_w=dir_w_flat if settings.warp_dirs else None,
+        fidx=fidx_w,
     )
-    cidx = nearest_face(pts_c_flat, centroids_c, settings.knn_impl)
+    if use_grouped:
+        cidx = nearest_face_grouped(
+            pts_c_flat.reshape(n // gsz, gsz, 3), centroids_c,
+            mesh.cluster_table,
+        ).reshape(n)
+    else:
+        cidx = nearest_face(
+            pts_c_flat, centroids_c, settings.knn_impl, mesh.cluster_table
+        )
     tri2_vidx = mesh.faces[cidx]
     tris_c2_flat = mesh.verts_cano[tri2_vidx]
     tris_w2_flat = mesh.verts_world[tri2_vidx]
