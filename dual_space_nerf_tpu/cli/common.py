@@ -24,10 +24,14 @@ def load_cfg(config_path: str):
 
 
 def build_model(cfg) -> DualSpaceNeRF:
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if cfg.MODEL.MATMUL_PRECISION == "bf16" else None
     return DualSpaceNeRF(
         max_frames=cfg.MODEL.MAX_FRAMES,
         code_dim=cfg.MODEL.CODE_DIM,
         backbone_dim=cfg.MODEL.BACKBONE_DIM,
+        compute_dtype=dtype,
     )
 
 

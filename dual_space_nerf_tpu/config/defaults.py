@@ -38,8 +38,8 @@ _C.MODEL.MAX_FRAMES = 500          # nn.Embedding(500, 8) (spacenet.py:41)
 _C.MODEL.CODE_DIM = 8
 _C.MODEL.MLP_CHUNK = 32768         # points per lax.map microbatch
 _C.MODEL.MATMUL_PRECISION = "f32"  # "f32" | "bf16" matmul accumulation input
-_C.MODEL.KNN_IMPL = "auto"         # "auto" | "pallas" | "xla"
-_C.MODEL.REMAT = True              # jax.checkpoint the per-point network
+_C.MODEL.KNN_IMPL = "auto"         # "auto" | "pruned" | "pallas" | "xla" | "grouped" | "clustered"
+_C.MODEL.REMAT = False             # jax.checkpoint the per-point network
 
 # ----------------------------------------------------------------------------
 # Dataset

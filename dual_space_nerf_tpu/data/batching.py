@@ -44,27 +44,32 @@ def item_to_train_batch(item: dict, nrays: int) -> TrainBatch:
     )
 
 
-_CLUSTER_CACHE: dict[int, jnp.ndarray] = {}
+_CLUSTER_CACHE: dict[int, tuple[jnp.ndarray, jnp.ndarray]] = {}
 
 
-def _cluster_table_for(faces: np.ndarray, verts_cano: np.ndarray) -> jnp.ndarray:
-    """Build (and cache per canonical mesh) the balanced face partition."""
+def _spatial_tables_for(faces: np.ndarray, verts_cano: np.ndarray):
+    """Build (and cache per canonical mesh) the balanced face partition and
+    the flattened kd-spatial face order used by the pruned search."""
     key = id(verts_cano)
     if key not in _CLUSTER_CACHE:
         from ..ops import build_face_clusters, face_centroids
 
         cano = jnp.asarray(verts_cano, jnp.float32)
         cents = np.asarray(face_centroids(cano, jnp.asarray(faces, jnp.int32)))
-        _CLUSTER_CACHE[key] = build_face_clusters(cents).table
+        table = np.asarray(build_face_clusters(cents).table)
+        face_perm = jnp.asarray(table[table >= 0].ravel(), jnp.int32)
+        _CLUSTER_CACHE[key] = (jnp.asarray(table), face_perm)
     return _CLUSTER_CACHE[key]
 
 
 def item_to_mesh(item: dict, faces: np.ndarray, verts_cano: np.ndarray) -> MeshBundle:
+    table, face_perm = _spatial_tables_for(faces, verts_cano)
     return MeshBundle(
         faces=jnp.asarray(faces, jnp.int32),
         verts_world=jnp.asarray(item["xyz"], jnp.float32),
         verts_cano=jnp.asarray(verts_cano, jnp.float32),
-        cluster_table=_cluster_table_for(faces, verts_cano),
+        cluster_table=table,
+        face_perm=face_perm,
     )
 
 

@@ -227,12 +227,13 @@ class H36M:
         orig_msk_c = crop_mask_edge(orig_msk)
         occupancy = (orig_msk_c != 0).astype(np.uint8)[coord[:, 0], coord[:, 1]]
 
+        n_train_frame = getattr(self.cfg, "num_train_frame", 1)
         latent_index = index // self.num_cams
         if self.test_novel_pose:
-            latent_index = self.cfg.num_train_frame - 1
+            latent_index = n_train_frame - 1
         frame = frame_index // self.i_intv
         if self.split != "train":
-            frame = int(self.rng.integers(0, self.cfg.num_train_frame))
+            frame = int(self.rng.integers(0, n_train_frame))
 
         return {
             "img": img,

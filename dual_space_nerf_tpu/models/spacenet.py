@@ -56,6 +56,7 @@ class SpaceNet(nn.Module):
     essence_dim: int = 3
     backbone_dim: int = 256
     pe_freqs: int = 10
+    compute_dtype: object = None  # e.g. jnp.bfloat16; params stay f32
 
     def setup(self):
         if self.code_dim > 0:
@@ -82,15 +83,18 @@ class SpaceNet(nn.Module):
             x = jnp.concatenate([code, pe, pose_feat], axis=-1)
         else:
             x = pe
-        x = mlp(x, [self.backbone_dim] * 4, activate_final=True)
-        x = jnp.concatenate([x, pe], axis=-1)
-        x = mlp(x, [self.backbone_dim] * 3, activate_final=True)
-        density = Dense(1)(x)
+        dt = self.compute_dtype
+        x = mlp(x, [self.backbone_dim] * 4, activate_final=True, dtype=dt)
+        x = jnp.concatenate([x, pe.astype(x.dtype)], axis=-1)
+        x = mlp(x, [self.backbone_dim] * 3, activate_final=True, dtype=dt)
+        # heads in f32: density feeds second-order normals and the
+        # compositing exponent; essence feeds the photometric loss
+        density = Dense(1)(x.astype(jnp.float32))
         if density_only:
             return None, density
         h = jax.nn.relu(x)
-        h = jax.nn.relu(Dense(self.backbone_dim // 2)(h))
-        essence = Dense(self.essence_dim)(h)
+        h = jax.nn.relu(Dense(self.backbone_dim // 2, dtype=dt)(h))
+        essence = Dense(self.essence_dim)(h.astype(jnp.float32))
         return essence, density
 
     @property
@@ -102,6 +106,7 @@ class LightingMLP(nn.Module):
     """World-space scalar lighting multiplier."""
 
     width: int = 128
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(
@@ -115,8 +120,8 @@ class LightingMLP(nn.Module):
             view_dir_world, axis=-1, keepdims=True
         )
         x = jnp.concatenate([normal, xyz_world, view], axis=-1)  # (N, 9)
-        x = mlp(x, [self.width, self.width, 1])
-        w = jax.nn.elu(x) + 1.0
+        x = mlp(x, [self.width, self.width, 1], dtype=self.compute_dtype)
+        w = jax.nn.elu(x.astype(jnp.float32)) + 1.0
         return w * essence
 
 
@@ -142,6 +147,7 @@ class DualSpaceNeRF(nn.Module):
     code_dim: int = 8
     essence_dim: int = 3
     backbone_dim: int = 256
+    compute_dtype: object = None
 
     def setup(self):
         self.nerf = SpaceNet(
@@ -149,8 +155,9 @@ class DualSpaceNeRF(nn.Module):
             code_dim=self.code_dim,
             essence_dim=self.essence_dim,
             backbone_dim=self.backbone_dim,
+            compute_dtype=self.compute_dtype,
         )
-        self.lighting_mlp = LightingMLP()
+        self.lighting_mlp = LightingMLP(compute_dtype=self.compute_dtype)
         self.pose_mlp = PoseMLP()
 
     def pose_feature(self, body_pose: jnp.ndarray) -> jnp.ndarray:

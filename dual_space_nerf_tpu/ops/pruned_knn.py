@@ -125,6 +125,63 @@ def _pruned_search_sorted(pts_sorted, cent_t, tile_c, tile_r, n_tiles, interpret
     return idx[:, 0]
 
 
+def pruned_tables(centroids: jnp.ndarray, face_perm: jnp.ndarray):
+    """Precompute the kernel's inputs for one centroid set:
+    (cent_t (3, F_pad), tile_c (8, T_pad), tile_r (8, T_pad), n_tiles)."""
+    f = centroids.shape[0]
+    f_pad = -(-f // _BLOCK_F) * _BLOCK_F
+    n_tiles = f_pad // _BLOCK_F
+
+    cent_perm = centroids[face_perm].astype(jnp.float32)
+    cent_t = jnp.full((3, f_pad), jnp.float32(1e15))
+    cent_t = jax.lax.dynamic_update_slice(cent_t, cent_perm.T, (0, 0))
+
+    pad_f = jnp.full((f_pad - f, 3), 1e15, jnp.float32)
+    cent_full = jnp.concatenate([cent_perm, pad_f], axis=0).reshape(
+        n_tiles, _BLOCK_F, 3
+    )
+    t_valid = jnp.arange(f_pad).reshape(n_tiles, _BLOCK_F) < f
+    w = t_valid[..., None].astype(jnp.float32)
+    counts = jnp.maximum(t_valid.sum(-1), 1)[:, None]
+    centers = (jnp.where(w > 0, cent_full, 0.0) * w).sum(1) / counts
+    r2 = jnp.sum((cent_full - centers[:, None]) ** 2, -1)
+    radius = jnp.sqrt(jnp.max(jnp.where(t_valid, r2, 0.0), -1))
+    any_valid = t_valid.any(-1)
+    centers = jnp.where(any_valid[:, None], centers, 1e15)
+    radius = jnp.where(any_valid, radius, 0.0)
+
+    t_pad = -(-n_tiles // 128) * 128
+    tile_c = jnp.full((8, t_pad), jnp.float32(1e15))
+    tile_c = jax.lax.dynamic_update_slice(tile_c, centers.T, (0, 0))
+    tile_r = jnp.zeros((8, t_pad), jnp.float32)
+    tile_r = jax.lax.dynamic_update_slice(tile_r, radius[None], (0, 0))
+    return cent_t, tile_c, tile_r, n_tiles
+
+
+def pruned_search_presorted(
+    pts_sorted: jnp.ndarray,
+    centroids: jnp.ndarray,
+    face_perm: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Search for ALREADY spatially-sorted points (N, 3) -> (N,) face ids.
+
+    The caller owns the sort/unsort (so one sort can serve several searches
+    and the un-permutation can be deferred to the end of a pipeline)."""
+    n = pts_sorted.shape[0]
+    n_pad = -(-n // _BLOCK_P) * _BLOCK_P
+    cent_t, tile_c, tile_r, n_tiles = pruned_tables(centroids, face_perm)
+    pts_p = jnp.pad(pts_sorted.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    idx_local = _pruned_search_sorted(
+        pts_p, cent_t, tile_c, tile_r, n_tiles, interpret=interpret
+    )[:n]
+    return face_perm[idx_local]
+
+
+def morton_order(pts: jnp.ndarray) -> jnp.ndarray:
+    return _morton_order(pts)
+
+
 def _morton_order(pts: jnp.ndarray) -> jnp.ndarray:
     mn = pts.min(0)
     span = jnp.maximum(pts.max(0) - mn, 1e-9)
@@ -152,46 +209,8 @@ def nearest_face_pruned(
     (flattened valid entries of build_face_clusters().table) -> (N,) int32.
     """
     n = pts.shape[0]
-    f = centroids.shape[0]
-    n_pad = -(-n // _BLOCK_P) * _BLOCK_P
-    f_pad = -(-f // _BLOCK_F) * _BLOCK_F
-    n_tiles = f_pad // _BLOCK_F
-
     order = _morton_order(pts)
-    pts_sorted = jnp.pad(pts[order].astype(jnp.float32), ((0, n_pad - n), (0, 0)))
-
-    cent_perm = centroids[face_perm].astype(jnp.float32)      # (F, 3) tiled
-    cent_t = jnp.full((3, f_pad), jnp.float32(1e15))
-    cent_t = jax.lax.dynamic_update_slice(cent_t, cent_perm.T, (0, 0))
-
-    # per-tile spheres (valid prefix only; padded tail sits at 1e15 and its
-    # tile (if any) gets an infinite lower bound via a huge radius-less center)
-    pad_f = jnp.full((f_pad - f, 3), 1e15, jnp.float32)
-    cent_full = jnp.concatenate([cent_perm, pad_f], axis=0).reshape(
-        n_tiles, _BLOCK_F, 3
+    face_ids = pruned_search_presorted(
+        pts[order], centroids, face_perm, interpret=interpret
     )
-    t_valid = (
-        jnp.arange(f_pad).reshape(n_tiles, _BLOCK_F) < f
-    )                                                         # (T, BF)
-    w = t_valid[..., None].astype(jnp.float32)
-    counts = jnp.maximum(t_valid.sum(-1), 1)[:, None]
-    centers = (jnp.where(w > 0, cent_full, 0.0) * w).sum(1) / counts  # (T, 3)
-    r2 = jnp.sum((cent_full - centers[:, None]) ** 2, -1)
-    radius = jnp.sqrt(jnp.max(jnp.where(t_valid, r2, 0.0), -1))       # (T,)
-    # fully-padded tiles: push center far away so lb = inf-ish
-    any_valid = t_valid.any(-1)
-    centers = jnp.where(any_valid[:, None], centers, 1e15)
-    radius = jnp.where(any_valid, radius, 0.0)
-
-    t_pad = -(-n_tiles // 128) * 128
-    tile_c = jnp.full((8, t_pad), jnp.float32(1e15))
-    tile_c = jax.lax.dynamic_update_slice(tile_c, centers.T, (0, 0))
-    tile_r = jnp.zeros((8, t_pad), jnp.float32)
-    tile_r = jax.lax.dynamic_update_slice(tile_r, radius[None], (0, 0))
-
-    idx_sorted = _pruned_search_sorted(
-        pts_sorted, cent_t, tile_c, tile_r, n_tiles, interpret=interpret
-    )[:n]
-    # local (permuted) index -> original face id, then undo the point sort
-    face_ids = face_perm[idx_sorted]
     return jnp.zeros((n,), jnp.int32).at[order].set(face_ids)

@@ -44,6 +44,7 @@ from ..geometry import (
 )
 from ..ops import face_centroids, nearest_face
 from ..ops.clustered_knn import nearest_face_grouped
+from ..ops.pruned_knn import morton_order, pruned_search_presorted
 
 
 class MeshBundle(NamedTuple):
@@ -60,6 +61,7 @@ class MeshBundle(NamedTuple):
     verts_world: jnp.ndarray
     verts_cano: jnp.ndarray
     cluster_table: jnp.ndarray | None = None
+    face_perm: jnp.ndarray | None = None  # (F,) kd-spatial face order
 
 
 class RayBatch(NamedTuple):
@@ -108,7 +110,9 @@ class RenderSettings:
     raw_noise_std: float = 1.0
     mlp_chunk: int = 32768
     knn_impl: str = "auto"
-    remat: bool = True
+    # v5e's 16 GB fits the full second-order graph at SMPL scale; remat
+    # costs ~5% step time and is only needed for much larger scenes
+    remat: bool = False
     warp_dirs: bool = False          # reference computes-but-discards these
     uv_floor: float = -4.0
     uv_ceil: float = 5.0
@@ -327,9 +331,18 @@ def render_rays(
 
     # ---- parameter-independent stage: warp + both nearest-face searches ----
     # Nothing here depends on params, so it sits outside the loss gradient
-    # and outside remat: each KNN runs exactly once per step. With a cluster
-    # table, the ray-grouped search shares one candidate set across a ray's
-    # S samples (~15x less distance work than brute force).
+    # and outside remat: each KNN runs exactly once per step.
+    #
+    # On TPU with a spatial face order available, the whole per-point stage
+    # runs in MORTON-SORTED point order: one sort serves both tile-pruned
+    # searches (sorted blocks skip most centroid tiles) and the network
+    # itself is order-agnostic, so the inverse permutation is applied only
+    # to the final per-point (color, sigma).
+    use_pruned = (
+        settings.knn_impl in ("auto", "pruned")
+        and mesh.face_perm is not None
+        and jax.default_backend() == "tpu"
+    )
     use_grouped = (
         settings.knn_impl == "grouped" and mesh.cluster_table is not None
     )
@@ -342,7 +355,15 @@ def render_rays(
             gsz = cand
             break
 
-    if use_grouped:
+    order = None
+    if use_pruned:
+        order = morton_order(pts_w_flat)
+        pts_w_flat = pts_w_flat[order]
+        dir_w_flat = dir_w_flat[order]
+        fidx_w = pruned_search_presorted(
+            pts_w_flat, centroids_w, mesh.face_perm
+        )
+    elif use_grouped:
         fidx_w = nearest_face_grouped(
             pts_w.reshape(n // gsz, gsz, 3), centroids_w, mesh.cluster_table
         ).reshape(n)
@@ -353,7 +374,12 @@ def render_rays(
         ray_d_w=dir_w_flat if settings.warp_dirs else None,
         fidx=fidx_w,
     )
-    if use_grouped:
+    if use_pruned:
+        # warped points inherit the world sort's block coherence
+        cidx = pruned_search_presorted(
+            pts_c_flat, centroids_c, mesh.face_perm
+        )
+    elif use_grouped:
         cidx = nearest_face_grouped(
             pts_c_flat.reshape(n // gsz, gsz, 3), centroids_c,
             mesh.cluster_table,
@@ -393,6 +419,11 @@ def render_rays(
         (pts_w_flat, dir_w_flat, frame_flat, pts_c_flat, tmask_flat,
          tris_c2_flat, tris_w2_flat),
     )
+
+    if order is not None:
+        # undo the Morton sort on the only per-point outputs that survive
+        color_flat = jnp.zeros_like(color_flat).at[order].set(color_flat)
+        sigma_flat = jnp.zeros_like(sigma_flat).at[order].set(sigma_flat)
 
     color = color_flat.reshape(r, s, 3)
     sigma = sigma_flat.reshape(r, s)
