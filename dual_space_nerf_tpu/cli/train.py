@@ -28,6 +28,12 @@ def parse_args(argv=None):
     parser.add_argument("--exp", type=str, default="test")
     parser.add_argument("--max_epochs", type=int, default=0,
                         help="override SOLVER.MAX_EPOCHS (0 = use config)")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="write a jax.profiler trace of the first epoch "
+                             "here (TensorBoard format)")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="enable jax_debug_nans (the reference's "
+                             "commented-out set_detect_anomaly, main.py:70)")
     return parser.parse_args(argv)
 
 
@@ -67,12 +73,21 @@ def main(argv=None):
     model = build_model(cfg)
     faces = load_faces(cfg, train_set)
 
+    import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+
     state = do_train(
         cfg, model, train_set, val_set, faces, writer, logger,
         output_dir=output_dir, psnr_thres=args.psnr_thres,
         resume=True,
         max_epochs=args.max_epochs or None,
     )
+    if args.profile_dir:
+        jax.profiler.stop_trace()
     writer.close()
     return state
 
