@@ -154,9 +154,13 @@ def warp_world_to_canonical(
         fidx = nearest_face(
             pts_w, centroids_w, settings.knn_impl, mesh.cluster_table
         )                                                           # (N,)
-    tri_vidx = mesh.faces[fidx]                                     # (N, 3)
-    tris_w = mesh.verts_world[tri_vidx]                             # (N, 3, 3)
-    tris_c = mesh.verts_cano[tri_vidx]                              # (N, 3, 3)
+    # gather per-face triangle ROWS: materializing (F, 3, 3) once makes the
+    # per-point lookup a single contiguous row gather instead of three
+    # scattered vertex reads
+    faces_w = mesh.verts_world[mesh.faces]                          # (F, 3, 3)
+    faces_c = mesh.verts_cano[mesh.faces]                           # (F, 3, 3)
+    tris_w = faces_w[fidx]                                          # (N, 3, 3)
+    tris_c = faces_c[fidx]                                          # (N, 3, 3)
 
     uv, h = project_point2mesh(pts_w, tris_w)
     tmask = transparent_mask(
@@ -388,9 +392,10 @@ def render_rays(
         cidx = nearest_face(
             pts_c_flat, centroids_c, settings.knn_impl, mesh.cluster_table
         )
-    tri2_vidx = mesh.faces[cidx]
-    tris_c2_flat = mesh.verts_cano[tri2_vidx]
-    tris_w2_flat = mesh.verts_world[tri2_vidx]
+    faces_w2 = mesh.verts_world[mesh.faces]                         # (F, 3, 3)
+    faces_c2 = mesh.verts_cano[mesh.faces]
+    tris_c2_flat = faces_c2[cidx]
+    tris_w2_flat = faces_w2[cidx]
 
     pose_feat = model.apply(
         params, batch.body_pose, method="pose_feature"
