@@ -62,16 +62,25 @@ def main():
         remat=True,
     )
 
+    from dual_space_nerf_tpu.data.batching import item_to_mesh
+
     rng = np.random.default_rng(0)
     scene = make_scene()  # V=6890, F=13776
-    geom = MeshBundle(
-        faces=jnp.asarray(scene.faces),
-        verts_world=jnp.asarray(scene.verts_world),
-        verts_cano=jnp.asarray(scene.verts_cano),
+    geom = item_to_mesh(
+        {"xyz": scene.verts_world}, scene.faces, scene.verts_cano
     )
     eye = (-scene.R.T @ scene.T).ravel()
     targets = scene.verts_world[rng.integers(0, len(scene.verts_world), NRAYS)]
-    d = (targets + 0.03 * rng.standard_normal((NRAYS, 3)) - eye).astype(np.float32)
+    targets = targets + 0.03 * rng.standard_normal((NRAYS, 3))
+    # host-side spatial ray ordering (data/batching.py does this for real
+    # batches); tightens the pruned search's blocks
+    key = (
+        (targets[:, 0] * 8).astype(int) * 4096
+        + (targets[:, 1] * 8).astype(int) * 64
+        + (targets[:, 2] * 8).astype(int)
+    )
+    targets = targets[np.argsort(key)]
+    d = (targets - eye).astype(np.float32)
     rays = RayBatch(
         ray_o=jnp.asarray(np.broadcast_to(eye, (NRAYS, 3)), jnp.float32),
         ray_d=jnp.asarray(d),

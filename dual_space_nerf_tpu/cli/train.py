@@ -80,10 +80,22 @@ def main(argv=None):
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
 
+    def val_fn(state, epoch):
+        from ..evaluation import ImageRenderer
+        from ..renderer import RenderSettings
+        from .validate import val
+
+        renderer = ImageRenderer(
+            model, state.params, RenderSettings.from_cfg(cfg), faces,
+            val_set.canonical_vertex, chunk=cfg.TEST.RAY_CHUNK,
+        )
+        return val(val_set, renderer, os.path.join(output_dir, "vis"), epoch)
+
     state = do_train(
         cfg, model, train_set, val_set, faces, writer, logger,
         output_dir=output_dir, psnr_thres=args.psnr_thres,
         resume=True,
+        val_fn=val_fn,
         max_epochs=args.max_epochs or None,
     )
     if args.profile_dir:

@@ -44,7 +44,7 @@ from ..geometry import (
 )
 from ..ops import face_centroids, nearest_face
 from ..ops.clustered_knn import nearest_face_grouped
-from ..ops.pruned_knn import morton_order, pruned_search_presorted
+from ..ops.pruned_knn import pruned_search_presorted
 
 
 class MeshBundle(NamedTuple):
@@ -359,11 +359,34 @@ def render_rays(
             gsz = cand
             break
 
-    order = None
+    # Block-coherent point layout WITHOUT a device sort: reorder to
+    # (sample-chunk, ray, sample-within) so each kernel block sees ~64
+    # adjacent rays x 8 consecutive samples — spatially tight when the host
+    # sorts the sampled pixels (data/batching.py does; eval chunks are
+    # scanline-ordered already). A transpose costs <1 ms vs ~28 ms for a
+    # Morton argsort + scatter at this N.
+    sc = 8
+    while s % sc:
+        sc //= 2
+    n_sc = s // sc
+
+    def to_blocked(x):  # (R, S, ...) -> (N, ...)
+        y = x.reshape(r, n_sc, sc, *x.shape[2:])
+        y = jnp.swapaxes(y, 0, 1)
+        return y.reshape(n, *x.shape[2:])
+
+    def from_blocked(x):  # (N, ...) -> flat (N, ...) in original order
+        y = x.reshape(n_sc, r, sc, *x.shape[1:])
+        y = jnp.swapaxes(y, 0, 1)
+        return y.reshape(n, *x.shape[1:])
+
+    blocked = False
     if use_pruned:
-        order = morton_order(pts_w_flat)
-        pts_w_flat = pts_w_flat[order]
-        dir_w_flat = dir_w_flat[order]
+        blocked = True
+        pts_w_flat = to_blocked(pts_w)
+        dir_w_flat = to_blocked(
+            jnp.broadcast_to(batch.ray_d[:, None, :], (r, s, 3))
+        )
         fidx_w = pruned_search_presorted(
             pts_w_flat, centroids_w, mesh.face_perm
         )
@@ -425,10 +448,10 @@ def render_rays(
          tris_c2_flat, tris_w2_flat),
     )
 
-    if order is not None:
-        # undo the Morton sort on the only per-point outputs that survive
-        color_flat = jnp.zeros_like(color_flat).at[order].set(color_flat)
-        sigma_flat = jnp.zeros_like(sigma_flat).at[order].set(sigma_flat)
+    if blocked:
+        # undo the block layout on the only per-point outputs that survive
+        color_flat = from_blocked(color_flat)
+        sigma_flat = from_blocked(sigma_flat)
 
     color = color_flat.reshape(r, s, 3)
     sigma = sigma_flat.reshape(r, s)

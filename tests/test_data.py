@@ -95,13 +95,20 @@ def test_synthetic_dataset_item_schema():
 
 
 def test_item_to_train_batch_pads_by_wrapping():
+    from dual_space_nerf_tpu.data.batching import _spatial_ray_order
+
     ds = SyntheticDataset(split="train", nrays=100, n_frames=1, n_views=1)
     item = ds[0]
     batch = item_to_train_batch(item, nrays=256)
     assert batch.rays.ray_o.shape == (256, 3)
     assert batch.rgb.shape == (256, 3)
+    # rays are spatially reordered, then padding wraps the reordered array
+    sorted_rd = item["ray_d"][_spatial_ray_order(item)]
     np.testing.assert_array_equal(
-        np.asarray(batch.rays.ray_d[100:200]), item["ray_d"][:100]
+        np.asarray(batch.rays.ray_d[:100]), sorted_rd
+    )
+    np.testing.assert_array_equal(
+        np.asarray(batch.rays.ray_d[100:200]), sorted_rd
     )
 
 
