@@ -28,7 +28,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_P = 512
+# Small point blocks trade grid overhead for tighter bounding spheres and
+# thus more tile skipping; swept on v5e at the ZJU-313 workload:
+# (512,1024)=108.7, (256,1024)=100.2, (128,1024)=95.4 ms/train-step.
+_BLOCK_P = 128
 _BLOCK_F = 1024
 
 

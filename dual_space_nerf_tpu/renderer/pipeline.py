@@ -154,13 +154,19 @@ def warp_world_to_canonical(
         fidx = nearest_face(
             pts_w, centroids_w, settings.knn_impl, mesh.cluster_table
         )                                                           # (N,)
-    # gather per-face triangle ROWS: materializing (F, 3, 3) once makes the
-    # per-point lookup a single contiguous row gather instead of three
-    # scattered vertex reads
-    faces_w = mesh.verts_world[mesh.faces]                          # (F, 3, 3)
-    faces_c = mesh.verts_cano[mesh.faces]                           # (F, 3, 3)
-    tris_w = faces_w[fidx]                                          # (N, 3, 3)
-    tris_c = faces_c[fidx]                                          # (N, 3, 3)
+    # gather per-face triangle ROWS: materializing the world+canonical
+    # triangles as one (F, 18) table turns the per-point lookup into a
+    # single contiguous row gather instead of six scattered vertex reads
+    faces_wc = jnp.concatenate(
+        [
+            mesh.verts_world[mesh.faces].reshape(-1, 9),
+            mesh.verts_cano[mesh.faces].reshape(-1, 9),
+        ],
+        axis=-1,
+    )                                                               # (F, 18)
+    tris_wc = faces_wc[fidx]                                        # (N, 18)
+    tris_w = tris_wc[:, :9].reshape(-1, 3, 3)
+    tris_c = tris_wc[:, 9:].reshape(-1, 3, 3)
 
     uv, h = project_point2mesh(pts_w, tris_w)
     tmask = transparent_mask(
@@ -415,10 +421,16 @@ def render_rays(
         cidx = nearest_face(
             pts_c_flat, centroids_c, settings.knn_impl, mesh.cluster_table
         )
-    faces_w2 = mesh.verts_world[mesh.faces]                         # (F, 3, 3)
-    faces_c2 = mesh.verts_cano[mesh.faces]
-    tris_c2_flat = faces_c2[cidx]
-    tris_w2_flat = faces_w2[cidx]
+    faces_wc2 = jnp.concatenate(
+        [
+            mesh.verts_world[mesh.faces].reshape(-1, 9),
+            mesh.verts_cano[mesh.faces].reshape(-1, 9),
+        ],
+        axis=-1,
+    )
+    tris_wc2 = faces_wc2[cidx]                                      # (N, 18)
+    tris_w2_flat = tris_wc2[:, :9].reshape(-1, 3, 3)
+    tris_c2_flat = tris_wc2[:, 9:].reshape(-1, 3, 3)
 
     pose_feat = model.apply(
         params, batch.body_pose, method="pose_feature"
