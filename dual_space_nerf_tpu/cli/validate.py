@@ -20,7 +20,10 @@ def mkdir(d):
     os.makedirs(d, exist_ok=True)
 
 
-def val(dataset, renderer: ImageRenderer, save_dir: str, epoch: int = 0) -> dict:
+def val(
+    dataset, renderer: ImageRenderer, save_dir: str, epoch: int = 0,
+    fixed_frame: int = 50,
+) -> dict:
     psnr_w, psnr_wo, ssims = [], [], []
     img_dir = f"{save_dir}/{epoch}/img"
     acc_dir = f"{save_dir}/{epoch}/acc"
@@ -31,7 +34,7 @@ def val(dataset, renderer: ImageRenderer, save_dir: str, epoch: int = 0) -> dict
     for batch_idx in range(len(dataset)):
         item = dataset[batch_idx]
         real_frame = int(item["frame"])
-        results = renderer.render_item(item, frame_override=50)  # validate.py:48
+        results = renderer.render_item(item, frame_override=fixed_frame)  # validate.py:48
         color = np.clip(results["coarse_color"], 0.0, 1.0)
         gt = item["img"]
         H, W = gt.shape[:2]
@@ -82,7 +85,10 @@ def main(argv=None):
         chunk=cfg.TEST.RAY_CHUNK,
     )
     epoch = int(os.path.basename(args.ckpt).split(".")[0].split("_")[-1])
-    return val(val_set, renderer, f"EXP/{args.exp}/vis", epoch)
+    return val(
+        val_set, renderer, f"EXP/{args.exp}/vis", epoch,
+        fixed_frame=min(50, cfg.MODEL.MAX_FRAMES - 1),
+    )
 
 
 if __name__ == "__main__":

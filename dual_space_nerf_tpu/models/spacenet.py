@@ -79,6 +79,9 @@ class SpaceNet(nn.Module):
         density_only."""
         pe = posenc(pos, self.pe_freqs)  # (N, 63)
         if self.code_dim > 0:
+            # out-of-range frame ids would make XLA's gather FILL with NaN
+            # (torch's nn.Embedding would raise); clamp like a bounds check
+            frame_idx = jnp.clip(frame_idx, 0, self.max_frames - 1)
             code = self.embedding(frame_idx) * code_scale
             x = jnp.concatenate([code, pe, pose_feat], axis=-1)
         else:
