@@ -138,3 +138,20 @@ def test_density_gradient_nonzero():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def test_out_of_range_frame_is_clamped_not_nan():
+    """XLA OOB gathers fill NaN; SpaceNet must clamp frame ids instead."""
+    model, params = _init()
+    x = jnp.zeros((3, 3))
+    pf = jnp.zeros((3, 16))
+    _, d_oob = model.apply(
+        params, x, jnp.asarray([999, 1000, 50], jnp.int32), pf, 1.0,
+        method="sigma_essence",
+    )
+    assert np.isfinite(np.asarray(d_oob)).all()
+    _, d_last = model.apply(
+        params, x, jnp.asarray([499, 499, 499], jnp.int32), pf, 1.0,
+        method="sigma_essence",
+    )
+    np.testing.assert_allclose(d_oob[:2], d_last[:2], atol=1e-6)
