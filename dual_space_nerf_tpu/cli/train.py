@@ -96,6 +96,7 @@ def main(argv=None):
         output_dir=output_dir, psnr_thres=args.psnr_thres,
         resume=True,
         val_fn=val_fn,
+        mesh_devices=mesh_devices,
         max_epochs=args.max_epochs or None,
     )
     if args.profile_dir:
