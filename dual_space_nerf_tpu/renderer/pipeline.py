@@ -322,10 +322,18 @@ def render_rays(
 
     near, far = batch.near, batch.far
     if settings.sample_mode == "GG":
-        near, far = gg_near_far(
-            batch.ray_o, batch.ray_d, near, far, mesh.verts_world,
-            settings.gg_gamma,
-        )
+        if jax.default_backend() == "tpu":
+            from ..ops.gg_pallas import gg_near_far_pallas
+
+            near, far = gg_near_far_pallas(
+                batch.ray_o, batch.ray_d, near, far, mesh.verts_world,
+                gamma=settings.gg_gamma,
+            )
+        else:
+            near, far = gg_near_far(
+                batch.ray_o, batch.ray_d, near, far, mesh.verts_world,
+                settings.gg_gamma,
+            )
 
     z_vals = stratified_z(
         near, far, s, rng_z if (train and settings.perturb > 0) else None

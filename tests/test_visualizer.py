@@ -1,0 +1,36 @@
+"""Visualizer3D density-volume plumbing test."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dual_space_nerf_tpu.data.synthetic import make_scene
+from dual_space_nerf_tpu.evaluation.visualizer import Visualizer3D
+from dual_space_nerf_tpu.models import DualSpaceNeRF
+from dual_space_nerf_tpu.renderer import MeshBundle, RenderSettings
+
+
+def test_density_volume_shape_and_finite():
+    scene = make_scene(n_theta=14, n_phi=12)
+    mesh = MeshBundle(
+        faces=jnp.asarray(scene.faces),
+        verts_world=jnp.asarray(scene.verts_world),
+        verts_cano=jnp.asarray(scene.verts_cano),
+    )
+    model = DualSpaceNeRF(max_frames=4)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((4, 3)), jnp.zeros((4,), jnp.int32),
+        jnp.zeros((4, 16)),
+    )
+    viz = Visualizer3D(
+        model, params,
+        RenderSettings(n_samples=8, mlp_chunk=4096, knn_impl="xla"),
+        resolution=12, chunk=1000,
+    )
+    grid, origin, spacing = viz.density_volume(
+        mesh, scene.bounds, frame=0, body_pose=scene.poses
+    )
+    assert grid.shape == (12, 12, 12)
+    assert np.isfinite(grid).all()
+    # transparent-masked cells (far from the capsule) are exactly 0
+    assert (grid == 0).any()
