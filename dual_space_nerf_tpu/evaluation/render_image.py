@@ -54,7 +54,10 @@ class ImageRenderer:
         light = light if light is not None else LightState.identity()
         mesh = item_to_mesh(item, self.faces, self.verts_cano)
 
-        parts = {"color": [], "disp_map": [], "acc_map": [], "depth_map": []}
+        keys = ["color", "disp_map", "acc_map", "depth_map"]
+        if self.settings.n_fine > 0:
+            keys += [f"fine_{k}" for k in keys]
+        parts = {k: [] for k in keys}
         for rays, valid in iter_ray_chunks(item, self.chunk, frame_override):
             out = self._render_chunk(self.params, rays, mesh, light)
             for k in parts:
@@ -68,12 +71,23 @@ class ImageRenderer:
             canvas[mask] = vals.reshape(-1, c)
             return canvas.reshape(H, W, c)
 
-        return {
+        out_images = {
             "coarse_color": scatter(np.concatenate(parts["color"]), 3),
             "coarse_disp": scatter(np.concatenate(parts["disp_map"])[:, None], 1),
             "coarse_acc": scatter(np.concatenate(parts["acc_map"])[:, None], 1),
             "coarse_depth": scatter(np.concatenate(parts["depth_map"])[:, None], 1),
         }
+        if self.settings.n_fine > 0:
+            out_images.update({
+                "fine_color": scatter(np.concatenate(parts["fine_color"]), 3),
+                "fine_acc": scatter(
+                    np.concatenate(parts["fine_acc_map"])[:, None], 1
+                ),
+                "fine_depth": scatter(
+                    np.concatenate(parts["fine_depth_map"])[:, None], 1
+                ),
+            })
+        return out_images
 
 
 def light_state_for_novel_pose(

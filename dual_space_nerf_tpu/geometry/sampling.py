@@ -54,6 +54,54 @@ def sample_along_rays(
     return ray_o[..., None, :] + ray_d[..., None, :] * z_vals[..., None]
 
 
+def sample_pdf(
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    rng: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Hierarchical (importance) sampling of z values from coarse weights.
+
+    Standard NeRF inverse-CDF sampling. The reference's fine path calls a
+    `self.resampling` method that is NEVER DEFINED (`can_render.py:213` —
+    enabling FINE_RAY_SAMPLING crashes it); this provides the working
+    equivalent for the same config knob.
+
+    bins: (R, B) sorted z midpoints; weights: (R, B-1); returns (R, n)
+    sorted samples. Deterministic midpoints of the CDF strata when rng is
+    None (eval), stratified-jittered when given (train).
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(pdf[..., :1]), jnp.cumsum(pdf, axis=-1)], axis=-1
+    )  # (R, B)
+
+    if rng is None:
+        u = jnp.linspace(0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
+        u = jnp.broadcast_to(u, (*cdf.shape[:-1], n_samples))
+    else:
+        strata = jnp.arange(n_samples) / n_samples
+        u = strata + jax.random.uniform(
+            rng, (*cdf.shape[:-1], n_samples)
+        ) / n_samples
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(
+        cdf, u
+    )
+    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 2)
+    above = jnp.clip(inds, 1, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = jnp.where(cdf_above - cdf_below < 1e-10, 1.0, cdf_above - cdf_below)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
 def gg_near_far(
     ray_o: jnp.ndarray,
     ray_d: jnp.ndarray,

@@ -42,6 +42,7 @@ from ..geometry import (
     stratified_z,
     transparent_mask,
 )
+from ..geometry.sampling import sample_pdf
 from ..ops import face_centroids, nearest_face
 from ..ops.clustered_knn import nearest_face_grouped
 from ..ops.pruned_knn import pruned_search_presorted
@@ -108,6 +109,7 @@ class RenderSettings:
     gg_gamma: float = 0.05
     perturb: float = 1.0
     raw_noise_std: float = 1.0
+    n_fine: int = 0                  # hierarchical samples (FINE_RAY_SAMPLING)
     mlp_chunk: int = 32768
     knn_impl: str = "auto"
     # v5e's 16 GB fits the full second-order graph at SMPL scale; remat
@@ -123,6 +125,7 @@ class RenderSettings:
     def from_cfg(cls, cfg) -> "RenderSettings":
         return cls(
             n_samples=cfg.MODEL.COARSE_RAY_SAMPLING,
+            n_fine=max(cfg.MODEL.FINE_RAY_SAMPLING, 0),
             sample_mode=cfg.MODEL.sample_points_mode,
             perturb=cfg.MODEL.perturb,
             raw_noise_std=cfg.MODEL.raw_noise_std,
@@ -338,6 +341,45 @@ def render_rays(
     z_vals = stratified_z(
         near, far, s, rng_z if (train and settings.perturb > 0) else None
     )
+    out = _render_with_z(
+        params, model, batch, mesh, settings, light, rng_noise, train, z_vals
+    )
+
+    # Hierarchical (fine) pass — the reference's FINE_RAY_SAMPLING knob.
+    # (Its own fine path calls an undefined `self.resampling`,
+    # `can_render.py:213`; this is the working equivalent.)
+    if settings.n_fine > 0:
+        rng_fine = None
+        if train and rng is not None:
+            rng_fine = jax.random.fold_in(rng, 1)
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_fine = sample_pdf(
+            mids, out["weights"][..., 1:-1], settings.n_fine, rng_fine
+        )
+        z_all = jnp.sort(
+            jnp.concatenate([z_vals, jax.lax.stop_gradient(z_fine)], -1), -1
+        )
+        fine = _render_with_z(
+            params, model, batch, mesh, settings, light, rng_noise, train,
+            z_all,
+        )
+        out.update({f"fine_{k}": v for k, v in fine.items()})
+    return out
+
+
+def _render_with_z(
+    params,
+    model,
+    batch: RayBatch,
+    mesh: MeshBundle,
+    settings: RenderSettings,
+    light: LightState,
+    rng_noise,
+    train: bool,
+    z_vals: jnp.ndarray,
+) -> dict[str, jnp.ndarray]:
+    """warp + networks + composite for given per-ray z values (R, S)."""
+    r, s = z_vals.shape
     pts_w = sample_along_rays(batch.ray_o, batch.ray_d, z_vals)  # (R, S, 3)
 
     n = r * s

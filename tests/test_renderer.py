@@ -179,3 +179,32 @@ def test_density_grid_query(scene, mesh, model_params):
     )
     assert d.shape == (33,)
     assert np.isfinite(np.asarray(d)).all()
+
+
+def test_fine_hierarchical_pass(scene, mesh, model_params):
+    """FINE_RAY_SAMPLING equivalent: fine keys present, finite, denser z."""
+    model, params = model_params
+    batch = _ray_batch(scene)
+    sett = settings(n_fine=8)
+    out = render_rays(
+        params, model, batch, mesh, sett, LightState.identity(),
+        jax.random.key(0), train=True,
+    )
+    assert out["fine_color"].shape == (R, 3)
+    assert out["fine_z_vals"].shape == (R, S + 8)
+    assert np.isfinite(np.asarray(out["fine_color"])).all()
+    # fine z grid must be sorted and contain extra samples
+    z = np.asarray(out["fine_z_vals"])
+    assert (np.diff(z, axis=-1) >= 0).all()
+
+
+def test_sample_pdf_concentrates_on_peak(rng_np):
+    from dual_space_nerf_tpu.geometry.sampling import sample_pdf
+
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 17), (4, 17))
+    w = np.full((4, 16), 1e-4, np.float32)
+    w[:, 8] = 1.0  # peak in bin [0.5, 0.5625]
+    z = np.asarray(sample_pdf(bins, jnp.asarray(w), 32))
+    frac_in_peak = ((z >= 0.5) & (z <= 0.5625)).mean()
+    assert frac_in_peak > 0.9
+    assert (np.diff(z, axis=-1) >= 0).all()
