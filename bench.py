@@ -35,6 +35,13 @@ ITERS = 20
 
 def main():
     import jax
+
+    # compiles in this container go through a remote compile service; the
+    # persistent cache makes repeat bench runs start in seconds
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     import jax.numpy as jnp
 
     from dual_space_nerf_tpu.cli.common import build_model
