@@ -7,7 +7,6 @@ import os
 import numpy as np
 
 from ..config import get_cfg_defaults
-from ..data import synthetic_body_model
 from ..data.smpl import load_body_model
 from ..models import DualSpaceNeRF
 from ..renderer import RenderSettings

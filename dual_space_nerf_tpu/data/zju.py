@@ -26,7 +26,6 @@ import numpy as np
 
 from . import cameras as camera_utils
 from .rays import sample_rays
-from .smpl import x_pose as make_x_pose
 
 _ANNOT_SUBJECTS = ("CoreView_313", "CoreView_315")
 

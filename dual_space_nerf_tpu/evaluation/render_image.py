@@ -9,8 +9,6 @@ state (light params are traced inputs).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import numpy as np
 

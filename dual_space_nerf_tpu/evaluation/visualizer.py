@@ -10,7 +10,6 @@ Wavefront .obj instead.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -21,7 +21,7 @@ from ..data import PrefetchLoader, item_to_mesh, item_to_train_batch
 from ..renderer import RenderSettings
 from .checkpoint import Checkpointer, PeriodicCheckpointer
 from .optim import make_optimizer
-from .state import TrainState, create_train_state, make_train_step
+from .state import create_train_state, make_train_step
 
 
 def do_train(
@@ -62,9 +62,18 @@ def do_train(
     rng = jax.random.key(233)
     max_epochs = max_epochs or cfg.SOLVER.MAX_EPOCHS
 
+    # batch conversion (pixel sort, padding, device puts) runs inside the
+    # prefetch workers so host prep overlaps the device step
+    def to_device(item):
+        return (
+            item_to_train_batch(item, nrays),
+            item_to_mesh(item, faces, verts_cano),
+        )
+
     loader = PrefetchLoader(
         train_set, shuffle=True,
         num_workers=cfg.DATALOADER.NUM_WORKERS, seed=233,
+        transform=to_device,
     )
 
     global_step = int(state.step)
@@ -75,9 +84,7 @@ def do_train(
         iters_start = epoch_start
         pending = None  # (metrics, step) — read one step late to overlap
 
-        for batch_idx, item in enumerate(loader):
-            batch = item_to_train_batch(item, nrays)
-            geom = item_to_mesh(item, faces, verts_cano)
+        for batch_idx, (batch, geom) in enumerate(loader):
             state, metrics = step_fn(state, batch, geom, rng)
             global_step += 1
 
