@@ -17,6 +17,19 @@ def posenc_dim(input_dim: int, n_freqs: int, include_input: bool = True) -> int:
     return input_dim * (int(include_input) + 2 * n_freqs)
 
 
+def gaussian_fourier_features(
+    x: jnp.ndarray, b_matrix: jnp.ndarray
+) -> jnp.ndarray:
+    """Random Fourier-feature mapping [sin(xB^T), cos(xB^T)].
+
+    Equivalent of the reference's (instantiable but unused) `Gaussian_Kernel`
+    (`model/dimension_kernel.py:95-114`). b_matrix: (dim_embed, dim_in),
+    typically N(0, ffm_scale^2); returns (..., 2*dim_embed).
+    """
+    y = x @ b_matrix.T
+    return jnp.concatenate([jnp.sin(y), jnp.cos(y)], axis=-1)
+
+
 def posenc(x: jnp.ndarray, n_freqs: int, include_input: bool = True) -> jnp.ndarray:
     """x: (..., D) -> (..., D * (include_input + 2*n_freqs))."""
     if n_freqs == 0:

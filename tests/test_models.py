@@ -155,3 +155,17 @@ def test_out_of_range_frame_is_clamped_not_nan():
         method="sigma_essence",
     )
     np.testing.assert_allclose(d_oob[:2], d_last[:2], atol=1e-6)
+
+
+def test_gaussian_fourier_features():
+    from dual_space_nerf_tpu.ops.posenc import gaussian_fourier_features
+
+    rng = np.random.default_rng(0)
+    B = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32) * 4.0)
+    x = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    out = gaussian_fourier_features(x, B)
+    assert out.shape == (5, 32)
+    y = np.asarray(x) @ np.asarray(B).T
+    np.testing.assert_allclose(
+        np.asarray(out), np.concatenate([np.sin(y), np.cos(y)], -1), atol=1e-5
+    )
