@@ -63,13 +63,26 @@ def item_to_train_batch(item: dict, nrays: int) -> TrainBatch:
     )
 
 
-_CLUSTER_CACHE: dict[int, tuple[jnp.ndarray, jnp.ndarray]] = {}
+_CLUSTER_CACHE: dict[tuple, tuple[jnp.ndarray, jnp.ndarray]] = {}
+
+
+def _mesh_cache_key(faces: np.ndarray, verts_cano: np.ndarray) -> tuple:
+    """Content-derived key: `id()` of a garbage-collected array can be
+    recycled, which would silently serve another mesh's face permutation to
+    the pruned search. Hashing ~6890x3 floats once per (mesh, process) is
+    microseconds."""
+    f = np.ascontiguousarray(faces)
+    v = np.ascontiguousarray(verts_cano)
+    return (
+        f.shape, v.shape,
+        hash(f.tobytes()), hash(v.tobytes()),
+    )
 
 
 def _spatial_tables_for(faces: np.ndarray, verts_cano: np.ndarray):
     """Build (and cache per canonical mesh) the balanced face partition and
     the flattened kd-spatial face order used by the pruned search."""
-    key = id(verts_cano)
+    key = _mesh_cache_key(faces, verts_cano)
     if key not in _CLUSTER_CACHE:
         from ..ops import build_face_clusters, face_centroids
 

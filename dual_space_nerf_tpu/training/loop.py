@@ -77,6 +77,10 @@ def do_train(
     )
 
     global_step = int(state.step)
+    # Epoch numbering matches the reference exactly: fresh runs start at 1
+    # (its CheckpointableDict inits epoch=0 and the loop is
+    # `range(1 + resume_epoch, max_epochs)`, `trainer.py:35,55-56`), so
+    # epoch-keyed artifacts (val@40, `model_epoch_%07d` names) line up.
     for epoch in range(1 + resume_epoch, max_epochs):
         logger.info("Training Epoch %d...", epoch)
         psnr_monitor = []
@@ -94,7 +98,9 @@ def do_train(
                 psnr_monitor.append(psnr_v)
                 if bidx % 50 == 0:
                     for key, v in m.items():
-                        if key.startswith("loss"):
+                        # per-term losses only ("loss_rgb", "fine_loss_rgb",
+                        # ...); the total goes out as Loss/loss_sum below
+                        if "loss_" in key:
                             writer.add_scalar(f"Loss/{key}", float(v), gstep)
                     writer.add_scalar("Loss/loss_sum", float(m["loss"]), gstep)
                     writer.add_scalar("TrainPsnr", psnr_v, gstep)

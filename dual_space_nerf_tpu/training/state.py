@@ -69,6 +69,20 @@ def make_train_step(
                 LightState.identity(), rng, train=True,
             )
             losses = loss_fn(out, batch.rgb, batch.occupancy)
+            if settings.n_fine > 0:
+                # standard coarse+fine NeRF supervision. The reference's own
+                # fine path is dead (its trainer reads only tmp["coarse"],
+                # `trainer.py:70-75`, and render_view's fine branch crashes at
+                # `can_render.py:213`); with hierarchical sampling enabled
+                # here, the fine render must carry a loss or it is dead
+                # compute under jit.
+                fine_out = {
+                    k[len("fine_"):]: v
+                    for k, v in out.items()
+                    if k.startswith("fine_")
+                }
+                fine_losses = loss_fn(fine_out, batch.rgb, batch.occupancy)
+                losses.update({f"fine_{k}": v for k, v in fine_losses.items()})
             total = sum(losses.values())
             mse = jnp.mean((out["color"] - batch.rgb) ** 2)
             return total, {"losses": losses, "mse": mse}

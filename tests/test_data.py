@@ -149,3 +149,36 @@ def test_rigid_transformation_rest_pose_is_identity():
     for j in range(24):
         np.testing.assert_allclose(A[j, :3, :3], np.eye(3), atol=1e-6)
         np.testing.assert_allclose(A[j, :3, 3], 0.0, atol=1e-6)
+
+
+def test_cluster_cache_keyed_by_content_not_id():
+    """Two different canonical meshes must never share spatial tables, even
+    when one array is garbage-collected and its id() is recycled."""
+    import gc
+
+    from dual_space_nerf_tpu.data.batching import (
+        _CLUSTER_CACHE,
+        _spatial_tables_for,
+    )
+
+    rng = np.random.default_rng(0)
+    faces = rng.integers(0, 30, (40, 3)).astype(np.int32)
+
+    v1 = rng.standard_normal((30, 3)).astype(np.float32)
+    _, perm1 = _spatial_tables_for(faces, v1)
+    perm1 = np.asarray(perm1).copy()
+    key1 = id(v1)
+    del v1
+    gc.collect()
+
+    # a distinct mesh; also explicitly poison the old id-keyed slot to prove
+    # the cache no longer consults id()
+    v2 = rng.standard_normal((30, 3)).astype(np.float32) * 3.0 + 5.0
+    assert key1 not in _CLUSTER_CACHE  # keys are content tuples, not ids
+    _, perm2 = _spatial_tables_for(faces, v2)
+    assert not np.array_equal(perm1, np.asarray(perm2))
+
+    # same content in a fresh array object hits the cache
+    v2_copy = v2.copy()
+    _, perm3 = _spatial_tables_for(faces, v2_copy)
+    assert np.array_equal(np.asarray(perm2), np.asarray(perm3))

@@ -171,3 +171,25 @@ def test_checkpoint_roundtrip(tmp_path, setup):
         jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fine_pass_is_supervised(setup):
+    """With n_fine > 0 the loss carries a fine term and fine params get
+    gradients (the fine render must not be dead compute; the reference's
+    trainer only reads tmp["coarse"], trainer.py:70-75)."""
+    scene, mesh, model, tx, _ = setup
+    sett = RenderSettings(
+        n_samples=S, n_fine=S, sample_mode="GG", mlp_chunk=R * S,
+        knn_impl="xla", perturb=0.0, raw_noise_std=0.0,
+    )
+    step = make_train_step(model, tx, sett)
+    state = create_train_state(model, tx, jax.random.key(0))
+    batch = _train_batch(scene)
+    state2, metrics = step(state, batch, mesh, jax.random.key(1))
+    assert "fine_loss_rgb" in metrics
+    assert np.isfinite(float(metrics["fine_loss_rgb"]))
+    # total loss includes the fine term
+    total = sum(
+        float(v) for k, v in metrics.items() if k.startswith(("loss_", "fine_"))
+    )
+    np.testing.assert_allclose(float(metrics["loss"]), total, rtol=1e-5)
