@@ -1,0 +1,140 @@
+#!/usr/bin/env python3
+"""Per-stage timing of the ZJU-313 train-step workload on the current device.
+
+Prints ms for: full train step (remat on/off, f32/bf16), the two pruned
+nearest-face searches, the GG near/far kernel, and an MLP-only step with the
+warp precomputed — so the README's perf table is measured, not inferred.
+
+Usage: python scripts/profile_step.py [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timeit(fn, *args, iters=20, warmup=3):
+    for _ in range(warmup):
+        out = fn(*args)
+    _ = jax.tree.leaves(out)[0]
+    np.asarray(jax.tree.leaves(out)[0][..., :1])  # host sync barrier
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0][..., :1])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from dual_space_nerf_tpu.config import get_cfg_defaults
+    from dual_space_nerf_tpu.data.batching import item_to_mesh
+    from dual_space_nerf_tpu.data.synthetic import make_scene
+    from dual_space_nerf_tpu.models import DualSpaceNeRF
+    from dual_space_nerf_tpu.ops import face_centroids
+    from dual_space_nerf_tpu.ops.pruned_knn import pruned_search_presorted
+    from dual_space_nerf_tpu.renderer import RayBatch, RenderSettings
+    from dual_space_nerf_tpu.training import (
+        TrainBatch,
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    NRAYS, S = 5500, 64
+    cfg = get_cfg_defaults()
+    cfg.SOLVER.WEIGHT_DECAY = 0.0
+
+    rng = np.random.default_rng(0)
+    scene = make_scene()
+    geom = item_to_mesh({"xyz": scene.verts_world}, scene.faces, scene.verts_cano)
+    eye = (-scene.R.T @ scene.T).ravel()
+    targets = scene.verts_world[rng.integers(0, len(scene.verts_world), NRAYS)]
+    targets = targets + 0.03 * rng.standard_normal((NRAYS, 3))
+    key = (
+        (targets[:, 0] * 8).astype(int) * 4096
+        + (targets[:, 1] * 8).astype(int) * 64
+        + (targets[:, 2] * 8).astype(int)
+    )
+    targets = targets[np.argsort(key)]
+    d = (targets - eye).astype(np.float32)
+    rays = RayBatch(
+        ray_o=jnp.asarray(np.broadcast_to(eye, (NRAYS, 3)), jnp.float32),
+        ray_d=jnp.asarray(d),
+        near=jnp.full((NRAYS,), 0.5, jnp.float32),
+        far=jnp.full((NRAYS,), 3.5, jnp.float32),
+        frame=jnp.asarray(0, jnp.int32),
+        body_pose=jnp.asarray(scene.poses[1:], jnp.float32),
+    )
+    batch = TrainBatch(
+        rays=rays,
+        rgb=jnp.asarray(rng.random((NRAYS, 3)), jnp.float32),
+        occupancy=jnp.ones((NRAYS,), jnp.float32),
+    )
+    tx, _ = make_optimizer(cfg)
+    rngk = jax.random.key(1)
+
+    def step_ms(remat, dtype):
+        model = DualSpaceNeRF(compute_dtype=dtype)
+        settings = RenderSettings(
+            n_samples=S, sample_mode="GG", mlp_chunk=cfg.MODEL.MLP_CHUNK,
+            knn_impl="auto", remat=remat,
+        )
+        state = create_train_state(model, tx, jax.random.key(0))
+        step = make_train_step(model, tx, settings, loss_type="L2")
+
+        def run(state):
+            s2, m = step(state, batch, geom, rngk)
+            return m["loss"]
+
+        return timeit(lambda: run(state), iters=args.iters)
+
+    print(f"full step  remat=T f32 : {step_ms(True, None):8.2f} ms")
+    print(f"full step  remat=F f32 : {step_ms(False, None):8.2f} ms")
+    print(f"full step  remat=F bf16: {step_ms(False, jnp.bfloat16):8.2f} ms")
+
+    # isolated pruned KNN (world + canonical workload shapes)
+    n = NRAYS * S
+    pts = jnp.asarray(
+        np.repeat(targets, S, axis=0)
+        + 0.02 * rng.standard_normal((n, 3)).astype(np.float32)
+    )
+    cents_w = face_centroids(geom.verts_world, geom.faces)
+    cents_c = face_centroids(geom.verts_cano, geom.faces)
+
+    knn = jax.jit(
+        lambda p: (
+            pruned_search_presorted(p, cents_w, geom.face_perm),
+            pruned_search_presorted(p, cents_c, geom.face_perm),
+        )
+    )
+    print(f"2x pruned KNN ({n} pts) : {timeit(knn, pts, iters=args.iters):8.2f} ms")
+    knn1 = jax.jit(lambda p: pruned_search_presorted(p, cents_w, geom.face_perm))
+    print(f"1x pruned KNN           : {timeit(knn1, pts, iters=args.iters):8.2f} ms")
+
+    from dual_space_nerf_tpu.ops.gg_pallas import gg_near_far_pallas
+
+    gg = jax.jit(
+        lambda: gg_near_far_pallas(
+            rays.ray_o, rays.ray_d, rays.near, rays.far, geom.verts_world,
+            gamma=0.05,
+        )
+    )
+    print(f"GG near/far kernel      : {timeit(gg, iters=args.iters):8.2f} ms")

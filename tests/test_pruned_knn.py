@@ -1,0 +1,180 @@
+"""The production TPU nearest-face path (ops/pruned_knn.py), interpret mode.
+
+This is the path `knn_impl="auto"` selects on TPU
+(renderer/pipeline.py: use_pruned) and the one bench.py measures; every
+function here is asserted against brute force. Reference semantics being
+matched: `utils/render_utils.py:84-99` (pytorch3d K=1 knn_points).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dual_space_nerf_tpu.data.synthetic import make_scene
+from dual_space_nerf_tpu.ops import build_face_clusters, face_centroids
+from dual_space_nerf_tpu.ops.pruned_knn import (
+    morton_order,
+    nearest_face_pruned,
+    pruned_search_presorted,
+    pruned_tables,
+)
+
+
+def brute_dist(pts, cents, idx):
+    return np.linalg.norm(pts - cents[idx], axis=-1)
+
+
+def brute_force(pts, cents):
+    d = np.linalg.norm(pts[:, None, :] - cents[None], axis=-1)
+    return d.argmin(axis=1)
+
+
+def _face_perm(cents):
+    table = np.asarray(build_face_clusters(jnp.asarray(cents)).table)
+    return jnp.asarray(table[table >= 0].ravel(), jnp.int32)
+
+
+def assert_matches_brute(pts, cents, got):
+    """Distance-equality (ties allowed) + index-validity assertion."""
+    got = np.asarray(got)
+    assert got.shape == (len(pts),)
+    assert (got >= 0).all() and (got < len(cents)).all()
+    want = brute_force(pts, cents)
+    np.testing.assert_allclose(
+        brute_dist(pts, cents, got), brute_dist(pts, cents, want), atol=1e-5
+    )
+
+
+@pytest.fixture(scope="module")
+def smpl_like():
+    """SMPL-shaped synthetic scene: V=6890, F=13776 capsule."""
+    scene = make_scene()
+    cents = np.asarray(
+        face_centroids(jnp.asarray(scene.verts_world), jnp.asarray(scene.faces))
+    )
+    return scene, cents, _face_perm(cents)
+
+
+def test_near_surface_gg_like_samples(smpl_like, rng_np):
+    """The training workload: points scattered near the mesh surface."""
+    scene, cents, perm = smpl_like
+    base = scene.verts_world[rng_np.integers(0, len(scene.verts_world), 700)]
+    pts = (base + 0.05 * rng_np.standard_normal((700, 3))).astype(np.float32)
+    got = nearest_face_pruned(
+        jnp.asarray(pts), jnp.asarray(cents), perm, interpret=True
+    )
+    assert_matches_brute(pts, cents, got)
+
+
+def test_uniform_box_points(smpl_like, rng_np):
+    """Points far from the surface (the GG fallback / AABB regime)."""
+    scene, cents, perm = smpl_like
+    lo, hi = cents.min(0) - 1.0, cents.max(0) + 1.0
+    pts = rng_np.uniform(lo, hi, (512, 3)).astype(np.float32)
+    got = nearest_face_pruned(
+        jnp.asarray(pts), jnp.asarray(cents), perm, interpret=True
+    )
+    assert_matches_brute(pts, cents, got)
+
+
+@pytest.mark.parametrize("n", [1, 127, 129, 300])
+def test_point_counts_not_multiple_of_block(smpl_like, rng_np, n):
+    scene, cents, perm = smpl_like
+    pts = rng_np.standard_normal((n, 3)).astype(np.float32)
+    got = nearest_face_pruned(
+        jnp.asarray(pts), jnp.asarray(cents), perm, interpret=True
+    )
+    assert_matches_brute(pts, cents, got)
+
+
+def test_single_tile_mesh(rng_np):
+    """F < one centroid tile (1024): degenerate single-tile path."""
+    cents = rng_np.standard_normal((37, 3)).astype(np.float32)
+    perm = _face_perm(cents)
+    pts = rng_np.standard_normal((130, 3)).astype(np.float32)
+    got = nearest_face_pruned(
+        jnp.asarray(pts), jnp.asarray(cents), perm, interpret=True
+    )
+    assert_matches_brute(pts, cents, got)
+
+
+def test_exact_tile_multiple_mesh(rng_np):
+    """F an exact multiple of the 1024 tile (no padded columns)."""
+    cents = rng_np.standard_normal((2048, 3)).astype(np.float32)
+    perm = _face_perm(cents)
+    pts = rng_np.standard_normal((200, 3)).astype(np.float32)
+    got = nearest_face_pruned(
+        jnp.asarray(pts), jnp.asarray(cents), perm, interpret=True
+    )
+    assert_matches_brute(pts, cents, got)
+
+
+def test_presorted_equals_wrapper(smpl_like, rng_np):
+    """pruned_search_presorted on Morton-ordered points == the sorting
+    wrapper's result scattered back (the renderer uses the presorted entry
+    with its own block layout)."""
+    scene, cents, perm = smpl_like
+    pts = (
+        scene.verts_world[rng_np.integers(0, len(scene.verts_world), 260)]
+        + 0.03 * rng_np.standard_normal((260, 3))
+    ).astype(np.float32)
+    order = np.asarray(morton_order(jnp.asarray(pts)))
+    sorted_ids = np.asarray(
+        pruned_search_presorted(
+            jnp.asarray(pts[order]), jnp.asarray(cents), perm, interpret=True
+        )
+    )
+    unsorted = np.empty_like(sorted_ids)
+    unsorted[order] = sorted_ids
+    wrapper = np.asarray(
+        nearest_face_pruned(jnp.asarray(pts), jnp.asarray(cents), perm,
+                            interpret=True)
+    )
+    np.testing.assert_allclose(
+        brute_dist(pts, cents, unsorted), brute_dist(pts, cents, wrapper),
+        atol=1e-6,
+    )
+    assert_matches_brute(pts, cents, unsorted)
+
+
+def test_unsorted_points_still_exact(smpl_like, rng_np):
+    """Pruning is a perf heuristic only — scrambled (incoherent) blocks must
+    still return exact nearest faces."""
+    scene, cents, perm = smpl_like
+    base = scene.verts_world[rng_np.integers(0, len(scene.verts_world), 256)]
+    pts = (base + 0.05 * rng_np.standard_normal((256, 3))).astype(np.float32)
+    rng_np.shuffle(pts)  # destroy spatial coherence
+    got = pruned_search_presorted(
+        jnp.asarray(pts), jnp.asarray(cents), perm, interpret=True
+    )
+    assert_matches_brute(pts, cents, got)
+
+
+def test_morton_order_is_permutation_and_local(rng_np):
+    pts = rng_np.standard_normal((1000, 3)).astype(np.float32)
+    order = np.asarray(morton_order(jnp.asarray(pts)))
+    assert sorted(order.tolist()) == list(range(1000))
+    # locality: mean consecutive distance far below random pairing
+    s = pts[order]
+    mean_step = np.linalg.norm(np.diff(s, axis=0), axis=1).mean()
+    mean_rand = np.linalg.norm(np.diff(pts, axis=0), axis=1).mean()
+    assert mean_step < 0.5 * mean_rand
+
+
+def test_pruned_tables_geometry(smpl_like):
+    """Tile spheres must contain every centroid assigned to the tile."""
+    scene, cents, perm = smpl_like
+    cent_t, tile_c, tile_r, n_tiles = pruned_tables(
+        jnp.asarray(cents), perm
+    )
+    cent_t = np.asarray(cent_t)
+    tile_c, tile_r = np.asarray(tile_c), np.asarray(tile_r)
+    f = len(cents)
+    for t in range(n_tiles):
+        cols = slice(t * 1024, min((t + 1) * 1024, f))
+        tile_pts = cent_t[:3, cols].T
+        tile_pts = tile_pts[(tile_pts < 1e14).all(axis=1)]
+        if len(tile_pts) == 0:
+            continue
+        d = np.linalg.norm(tile_pts - tile_c[:3, t], axis=-1)
+        assert (d <= tile_r[0, t] + 1e-4).all()
