@@ -21,14 +21,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timeit(fn, *args, iters=20, warmup=3):
+    # a device->host copy is the only reliable execution barrier on the
+    # axon remote executor (block_until_ready does not flush it)
     for _ in range(warmup):
         out = fn(*args)
-    _ = jax.tree.leaves(out)[0]
-    np.asarray(jax.tree.leaves(out)[0][..., :1])  # host sync barrier
+    np.asarray(jax.tree.leaves(out)[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0][..., :1])
+    np.asarray(jax.tree.leaves(out)[0])
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -97,14 +98,15 @@ if __name__ == "__main__":
             n_samples=S, sample_mode="GG", mlp_chunk=cfg.MODEL.MLP_CHUNK,
             knn_impl="auto", remat=remat,
         )
-        state = create_train_state(model, tx, jax.random.key(0))
+        holder = {"s": create_train_state(model, tx, jax.random.key(0))}
         step = make_train_step(model, tx, settings, loss_type="L2")
 
-        def run(state):
-            s2, m = step(state, batch, geom, rngk)
+        def run():
+            # the step donates its state input; always feed the fresh one
+            holder["s"], m = step(holder["s"], batch, geom, rngk)
             return m["loss"]
 
-        return timeit(lambda: run(state), iters=args.iters)
+        return timeit(run, iters=args.iters)
 
     print(f"full step  remat=T f32 : {step_ms(True, None):8.2f} ms")
     print(f"full step  remat=F f32 : {step_ms(False, None):8.2f} ms")

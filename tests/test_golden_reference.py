@@ -1,0 +1,349 @@
+"""Golden end-to-end parity against the ACTUAL reference pipeline.
+
+Runs the original `/root/reference` code (CPU torch) with its single CUDA
+dependency — pytorch3d's `knn_points` (`utils/render_utils.py:1,84-99`) —
+replaced by an exact brute-force torch KNN, and `.cuda()` patched to the
+identity. The reference's own Renderer.render() then produces golden tensors
+(z_vals, warped canonical points, transparent mask, sigma, essence, final
+color/disp/acc/depth/weights) on a tiny synthetic mesh, and the JAX pipeline
+must match each stage to f32 tolerance.
+
+This converts round-1's "parity by transcription" (tests/test_torch_parity.py
+rebuilds the layer spec independently) into "parity by measurement" against
+the reference's executable behavior.
+"""
+
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from dual_space_nerf_tpu.config import get_cfg_defaults
+from dual_space_nerf_tpu.data.synthetic import make_scene
+from dual_space_nerf_tpu.models import DualSpaceNeRF
+from dual_space_nerf_tpu.ops import face_centroids
+from dual_space_nerf_tpu.renderer import (
+    LightState,
+    MeshBundle,
+    RayBatch,
+    RenderSettings,
+    render_rays,
+)
+from dual_space_nerf_tpu.renderer.pipeline import warp_world_to_canonical
+
+REFERENCE = "/root/reference"
+
+R, S = 24, 16  # rays, samples/ray
+
+
+def _fake_pytorch3d():
+    """Exact brute-force stand-ins for pytorch3d.ops.knn_points/knn_gather."""
+
+    def knn_points(p1, p2, K=1, return_nn=False, **kw):
+        d = ((p1[:, :, None, :] - p2[:, None, :, :]) ** 2).sum(-1)  # (B,N,M)
+        dists, idx = torch.topk(d, K, dim=-1, largest=False)
+        nn = knn_gather(p2, idx) if return_nn else None
+        return dists, idx, nn
+
+    def knn_gather(x, idx):
+        # x (B,M,D), idx (B,N,K) -> (B,N,K,D)
+        b, n, k = idx.shape
+        d = x.shape[-1]
+        flat = idx.reshape(b, n * k, 1).expand(-1, -1, d)
+        return torch.gather(x, 1, flat).reshape(b, n, k, d)
+
+    ops = types.ModuleType("pytorch3d.ops")
+    ops.knn_points = knn_points
+    ops.knn_gather = knn_gather
+    pkg = types.ModuleType("pytorch3d")
+    pkg.ops = ops
+    return pkg, ops
+
+
+@pytest.fixture(scope="module")
+def reference_env(tmp_path_factory):
+    """Import the reference with pytorch3d stubbed and .cuda() neutralized."""
+    saved_modules = dict(sys.modules)
+    saved_cuda = (torch.Tensor.cuda, torch.nn.Module.cuda)
+    pkg, ops = _fake_pytorch3d()
+    sys.modules["pytorch3d"] = pkg
+    sys.modules["pytorch3d.ops"] = ops
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    sys.path.insert(0, REFERENCE)
+    try:
+        import can_render as ref_can_render  # noqa: F401
+        from model import spacenet as ref_spacenet  # noqa: F401
+
+        yield ref_can_render, ref_spacenet
+    finally:
+        sys.path.remove(REFERENCE)
+        torch.Tensor.cuda, torch.nn.Module.cuda = saved_cuda
+        for name in list(sys.modules):
+            if name not in saved_modules:
+                del sys.modules[name]
+
+
+def _write_fake_smpl(path, scene):
+    import pickle
+
+    kintree = np.zeros((2, 24), np.int64)
+    kintree[0] = np.arange(24) - 1
+    kintree[0, 0] = 0
+    data = {
+        "kintree_table": kintree,
+        "weights": np.ones((len(scene.verts_world), 24), np.float64) / 24.0,
+        "f": np.asarray(scene.faces, np.int64),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+
+
+@pytest.fixture(scope="module")
+def golden(reference_env, tmp_path_factory):
+    """Run the reference pipeline once; return all golden tensors + inputs."""
+    ref_can_render, ref_spacenet = reference_env
+    rng = np.random.default_rng(11)
+
+    scene = make_scene(n_theta=14, n_phi=12)
+    smpl_pkl = tmp_path_factory.mktemp("smpl") / "SMPL_NEUTRAL.pkl"
+    _write_fake_smpl(smpl_pkl, scene)
+
+    cfg = get_cfg_defaults()
+    cfg.MODEL.TYPE = "nerf"  # render_rays dispatches on this, can_render.py:107
+    cfg.MODEL.COARSE_RAY_SAMPLING = S
+    cfg.MODEL.FINE_RAY_SAMPLING = -1
+    cfg.MODEL.sample_points_mode = "GG"
+    cfg.DATASETS.SMPL_PATH = str(smpl_pkl)
+
+    torch.manual_seed(0)
+    ref_net = ref_spacenet.DualSpaceNeRF(cfg).float()
+    ref_net.eval()
+    renderer = ref_can_render.Renderer(
+        ref_net,
+        cfg=cfg,
+        canonical_vertex=torch.tensor(scene.verts_cano, dtype=torch.float32),
+    )
+    renderer.eval()
+
+    # rays aimed at the surface (same recipe as the other tests)
+    eye = (-scene.R.T @ scene.T).ravel()
+    targets = scene.verts_world[rng.integers(0, len(scene.verts_world), R)]
+    targets = targets + 0.03 * rng.standard_normal((R, 3))
+    d = (targets - eye).astype(np.float32)
+    poses = (0.1 * rng.standard_normal((24, 3))).astype(np.float32)
+
+    batch = {
+        "ray_o": torch.tensor(np.broadcast_to(eye, (1, R, 3)).copy(), dtype=torch.float32),
+        "ray_d": torch.tensor(d[None], dtype=torch.float32),
+        "near": torch.full((1, R), 0.5),
+        "far": torch.full((1, R), 3.0),
+        "xyz": torch.tensor(scene.verts_world[None], dtype=torch.float32),
+        "frame": torch.tensor([3], dtype=torch.long),
+        "poses": torch.tensor(poses[None], dtype=torch.float32),
+    }
+
+    # --- stage captures from the reference's own functions ---
+    pts_world, z_vals = renderer.get_sampling_points(
+        batch["ray_o"], batch["ray_d"],
+        batch["near"].clone(), batch["far"].clone(),
+        batch["xyz"], mode="GG",
+    )
+    pts_cat, rays_cat, tmask = renderer.w2l(
+        pts_world, batch["ray_o"], batch["ray_d"], batch
+    )
+
+    # --- the full reference train-path render (render(), eval mode) ---
+    ret = renderer.render(
+        {k: (v.clone() if torch.is_tensor(v) else v) for k, v in batch.items()}
+    )["coarse"]
+
+    return {
+        "scene": scene,
+        "cfg": cfg,
+        "ref_net": ref_net,
+        "batch_np": {
+            "eye": eye, "ray_d": d, "poses": poses, "frame": 3,
+            "near": 0.5, "far": 3.0,
+        },
+        "z_vals": z_vals.reshape(R, S).detach().numpy(),
+        "pts_cano": pts_cat[..., 3:].reshape(R * S, 3).detach().numpy(),
+        "pts_world": pts_cat[..., :3].reshape(R * S, 3).detach().numpy(),
+        "tmask": tmask.reshape(R * S).detach().numpy(),
+        "color": ret["color"].reshape(R, 3).detach().numpy(),
+        "disp": ret["disp_map"].reshape(R).detach().numpy(),
+        "acc": ret["acc_map"].reshape(R).detach().numpy(),
+        "depth": ret["depth_map"].reshape(R).detach().numpy(),
+        "weights": ret["weights"].reshape(R, S).detach().numpy(),
+    }
+
+
+def _flax_params_from_ref(ref_net, template):
+    """Copy the reference torch weights into our flax parameter tree."""
+
+    def k(linear):
+        return jnp.asarray(linear.weight.detach().numpy().T)
+
+    def b(linear):
+        return jnp.asarray(linear.bias.detach().numpy())
+
+    p = jax.tree.map(lambda x: x, template)  # deep-ish copy of the dict tree
+    nerf = p["params"]["nerf"]
+    stage1 = [ref_net.nerf.stage1[i] for i in (0, 2, 4, 6)]
+    stage2 = [ref_net.nerf.stage2[i] for i in (0, 2, 4)]
+    for i, lin in enumerate(stage1 + stage2):
+        nerf[f"Dense_{i}"]["Dense_0"]["kernel"] = k(lin)
+        nerf[f"Dense_{i}"]["Dense_0"]["bias"] = b(lin)
+    nerf["Dense_7"]["Dense_0"]["kernel"] = k(ref_net.nerf.density_net[0])
+    nerf["Dense_7"]["Dense_0"]["bias"] = b(ref_net.nerf.density_net[0])
+    for i, lin in zip((8, 9), (ref_net.nerf.rgb_net[1], ref_net.nerf.rgb_net[3])):
+        nerf[f"Dense_{i}"]["Dense_0"]["kernel"] = k(lin)
+        nerf[f"Dense_{i}"]["Dense_0"]["bias"] = b(lin)
+    nerf["embedding"]["embedding"] = jnp.asarray(
+        ref_net.nerf.embedding.weight.detach().numpy()
+    )
+    light = p["params"]["lighting_mlp"]
+    for i, lin in enumerate(
+        [ref_net.lighting_mlp.lights_encoding[j] for j in (0, 2, 4)]
+    ):
+        light[f"Dense_{i}"]["Dense_0"]["kernel"] = k(lin)
+        light[f"Dense_{i}"]["Dense_0"]["bias"] = b(lin)
+    pose = p["params"]["pose_mlp"]
+    for i, lin in enumerate([ref_net.pose_mlp[j] for j in (0, 2, 4)]):
+        pose[f"Dense_{i}"]["Dense_0"]["kernel"] = k(lin)
+        pose[f"Dense_{i}"]["Dense_0"]["bias"] = b(lin)
+    return p
+
+
+@pytest.fixture(scope="module")
+def ours(golden):
+    """Run our pipeline with the reference's weights on identical inputs."""
+    scene = golden["scene"]
+    bn = golden["batch_np"]
+    model = DualSpaceNeRF()
+    template = model.init(
+        jax.random.key(0), jnp.zeros((4, 3)), jnp.zeros((4,), jnp.int32),
+        jnp.zeros((4, 16)),
+    )
+    params = _flax_params_from_ref(golden["ref_net"], template)
+
+    mesh = MeshBundle(
+        faces=jnp.asarray(scene.faces),
+        verts_world=jnp.asarray(scene.verts_world),
+        verts_cano=jnp.asarray(scene.verts_cano),
+    )
+    rays = RayBatch(
+        ray_o=jnp.asarray(np.broadcast_to(bn["eye"], (R, 3)), jnp.float32),
+        ray_d=jnp.asarray(bn["ray_d"]),
+        near=jnp.full((R,), bn["near"], jnp.float32),
+        far=jnp.full((R,), bn["far"], jnp.float32),
+        frame=jnp.asarray(bn["frame"], jnp.int32),
+        body_pose=jnp.asarray(bn["poses"][1:]),
+    )
+    settings = RenderSettings(
+        n_samples=S, sample_mode="GG", mlp_chunk=R * S, knn_impl="xla",
+    )
+    out = render_rays(
+        params, model, rays, mesh, settings, LightState.identity(),
+        rng=None, train=False,
+    )
+    return {"params": params, "model": model, "mesh": mesh, "rays": rays,
+            "settings": settings, "out": out}
+
+
+def test_z_vals_match(golden, ours):
+    np.testing.assert_allclose(
+        np.asarray(ours["out"]["z_vals"]), golden["z_vals"], atol=2e-5
+    )
+
+
+def test_warp_and_transparent_mask_match(golden, ours):
+    """Stage capture: warped canonical points + transparent mask."""
+    from dual_space_nerf_tpu.geometry import sample_along_rays
+
+    rays, mesh, settings = ours["rays"], ours["mesh"], ours["settings"]
+    z = jnp.asarray(golden["z_vals"])
+    pts_w = sample_along_rays(rays.ray_o, rays.ray_d, z).reshape(-1, 3)
+    np.testing.assert_allclose(
+        np.asarray(pts_w), golden["pts_world"], atol=2e-5
+    )
+    cents = face_centroids(mesh.verts_world, mesh.faces)
+    pts_c, tmask, _, _ = warp_world_to_canonical(pts_w, mesh, cents, settings)
+    np.testing.assert_allclose(
+        np.asarray(pts_c), golden["pts_cano"], atol=3e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tmask), golden["tmask"].astype(bool)
+    )
+
+
+def test_sigma_essence_match(golden, ours):
+    """Stage capture: raw network outputs on the reference's warped points."""
+    model, params = ours["model"], ours["params"]
+    pts_c = jnp.asarray(golden["pts_cano"])
+    n = pts_c.shape[0]
+    pose_feat = model.apply(
+        params, ours["rays"].body_pose, method="pose_feature"
+    )
+    essence, density = model.apply(
+        params, pts_c, jnp.full((n,), 3, jnp.int32),
+        jnp.broadcast_to(pose_feat, (n, 16)), 1.0, method="sigma_essence",
+    )
+
+    ref_net = golden["ref_net"]
+    pos6 = torch.tensor(
+        np.concatenate([golden["pts_world"], golden["pts_cano"]], -1)
+    )
+    rays6 = torch.tensor(
+        np.concatenate(
+            [
+                np.repeat(golden["batch_np"]["ray_d"], S, axis=0),
+                np.zeros((n, 3), np.float32),
+            ],
+            -1,
+        )
+    )
+    pose_t = torch.tensor(golden["batch_np"]["poses"][None])
+    e_t, d_t, _ = ref_net(
+        pos6, rays6, torch.full((n,), 3, dtype=torch.long),
+        batch_info={
+            "poses": pose_t,
+            "canonical_model": {
+                "meshes": torch.tensor(
+                    golden["scene"].verts_cano[golden["scene"].faces]
+                )
+            },
+            "xyz": torch.tensor(golden["scene"].verts_world[None]),
+            "face_idx": torch.tensor(golden["scene"].faces, dtype=torch.long),
+        },
+    )
+    np.testing.assert_allclose(
+        np.asarray(density)[:, 0], d_t.detach().numpy()[:, 0], atol=2e-3
+    )
+    # essence is pre-lighting; the reference's forward returns the LIT color,
+    # so compare our full lit color against it in test_final_outputs instead.
+    del essence, e_t
+
+
+def test_final_outputs_match(golden, ours):
+    out = ours["out"]
+    np.testing.assert_allclose(
+        np.asarray(out["color"]), golden["color"], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["acc_map"]), golden["acc"], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["depth_map"]), golden["depth"], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["weights"]), golden["weights"], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["disp_map"]), golden["disp"], rtol=2e-3, atol=2e-3
+    )
