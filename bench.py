@@ -66,7 +66,9 @@ def main():
         sample_mode="GG",
         mlp_chunk=cfg.MODEL.MLP_CHUNK,
         knn_impl="auto",
-        remat=True,
+        # v5e's 16 GB holds the full second-order graph at this workload;
+        # remat costs ~6 ms/step (measured, scripts/profile_step.py)
+        remat=False,
     )
 
     from dual_space_nerf_tpu.data.batching import item_to_mesh

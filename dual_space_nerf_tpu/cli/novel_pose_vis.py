@@ -77,9 +77,26 @@ def main(argv=None):
     parser.add_argument("--pose_dir", type=str,
                         default="novelpose_examples/CoreView_313_op3")
     parser.add_argument("--n_frames", type=int, default=0)
+    parser.add_argument(
+        "--performer", type=str, default="",
+        help="cross-dataset motion transfer: the trained avatar (e.g. "
+        "CoreView_377); with --motion_seq, routes through "
+        "data_configs/novel_poses/{performer}_{motion_seq}.yml "
+        "(reference novel_poses_dataset.py:232-246)",
+    )
+    parser.add_argument(
+        "--motion_seq", type=str, default="",
+        help="cross-dataset motion transfer: the driving H36M sequence "
+        "(e.g. S9)",
+    )
+    parser.add_argument(
+        "--vertices_dir", type=str, default="",
+        help="override the driving sequence's posed-vertex dir (needed when "
+        "the performer's body shape differs; see tool/"
+        "generate_novelpose_vertices.py)",
+    )
     args = parser.parse_args(argv)
 
-    from ..data.zju_novel_pose import MocapNovelPoseView
     from .common import eval_settings, load_cfg, load_faces, load_render_state
 
     cfg = load_cfg(args.config)
@@ -88,15 +105,30 @@ def main(argv=None):
 
     zju_dir = os.environ.get("DSNERF_ZJU_PATH", cfg.DATASETS.ZJU_MOCAP_PATH)
     h36m_dir = os.environ.get("DSNERF_H36M_PATH", cfg.DATASETS.H36M_PATH)
-    dataset = MocapNovelPoseView(
-        "CoreView_313", ratio=1, begin=0, end=100000, train_views=[],
-        train_max_frame=2000, interval=4, vis_views=[9],
-        performer="CoreView_313", zju_data_dir=zju_dir, h36m_data_dir=h36m_dir,
-    )
-    dataset.set_novel_pose_dirs(
-        os.path.join(args.pose_dir, "new_params"),
-        os.path.join(args.pose_dir, "new_vertices"),
-    )
+    if args.performer and args.motion_seq:
+        # H36M motion driving a (ZJU or H36M) performer's canonical avatar
+        from ..data.h36m_novel_pose import get_novel_pose_dataset
+
+        dataset = get_novel_pose_dataset(
+            performer=args.performer, motion_seq=args.motion_seq,
+            zju_data_dir=zju_dir, h36m_data_dir=h36m_dir,
+        )
+        if args.vertices_dir:
+            dataset.cfg.vertices = args.vertices_dir
+    else:
+        # same-subject ZJU pose-sequence transfer (reference default path)
+        from ..data.zju_novel_pose import MocapNovelPoseView
+
+        dataset = MocapNovelPoseView(
+            "CoreView_313", ratio=1, begin=0, end=100000, train_views=[],
+            train_max_frame=2000, interval=4, vis_views=[9],
+            performer="CoreView_313", zju_data_dir=zju_dir,
+            h36m_data_dir=h36m_dir,
+        )
+        dataset.set_novel_pose_dirs(
+            os.path.join(args.pose_dir, "new_params"),
+            os.path.join(args.pose_dir, "new_vertices"),
+        )
     print("length:", len(dataset))
 
     model, params = load_render_state(args.ckpt, cfg)

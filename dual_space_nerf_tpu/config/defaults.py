@@ -40,6 +40,11 @@ _C.MODEL.MLP_CHUNK = 32768         # points per lax.map microbatch
 _C.MODEL.MATMUL_PRECISION = "f32"  # "f32" | "bf16" matmul accumulation input
 _C.MODEL.KNN_IMPL = "auto"         # "auto" | "pruned" | "pallas" | "xla" | "grouped" | "clustered"
 _C.MODEL.REMAT = False             # jax.checkpoint the per-point network
+# Importance-gated shading: evaluate density at every sample but run the
+# color path (canonical KNN + transport + vjp normal + LightingMLP) only on
+# the top-K samples per ray by compositing weight. 0/-1 = off (shade all
+# samples, reference-exact). The weights' tail bounds the approximation.
+_C.MODEL.SHADE_TOPK = 0
 
 # ----------------------------------------------------------------------------
 # Dataset

@@ -74,15 +74,25 @@ class SpaceNet(nn.Module):
         pose_feat: jnp.ndarray,    # (N, 16)
         code_scale: jnp.ndarray | float = 1.0,
         density_only: bool = False,
+        code: jnp.ndarray | None = None,  # precomputed (code_dim,) frame code
     ):
         """Returns (essence (N, 3), density (N, 1)); essence is None when
-        density_only."""
+        density_only.
+
+        When all points share one frame (the renderer's case), pass the
+        embedding row via ``code`` — its gradient is then a cheap reduction
+        over the broadcast instead of a 352k-row scatter-add into the
+        (max_frames, code_dim) table (~3 ms/step on v5e, measured)."""
         pe = posenc(pos, self.pe_freqs)  # (N, 63)
         if self.code_dim > 0:
-            # out-of-range frame ids would make XLA's gather FILL with NaN
-            # (torch's nn.Embedding would raise); clamp like a bounds check
-            frame_idx = jnp.clip(frame_idx, 0, self.max_frames - 1)
-            code = self.embedding(frame_idx) * code_scale
+            if code is None:
+                # out-of-range frame ids would make XLA's gather FILL with
+                # NaN (torch's nn.Embedding raises); clamp as a bounds check
+                frame_idx = jnp.clip(frame_idx, 0, self.max_frames - 1)
+                code = self.embedding(frame_idx) * code_scale
+            else:
+                code = code * code_scale
+            code = jnp.broadcast_to(code, (pos.shape[0], self.code_dim))
             x = jnp.concatenate([code, pe, pose_feat], axis=-1)
         else:
             x = pe
@@ -178,10 +188,17 @@ class DualSpaceNeRF(nn.Module):
         pose_feat: jnp.ndarray,
         code_scale,
         density_only: bool = False,
+        code: jnp.ndarray | None = None,
     ):
         return self.nerf(
-            pos_cano, frame_idx, pose_feat, code_scale, density_only=density_only
+            pos_cano, frame_idx, pose_feat, code_scale,
+            density_only=density_only, code=code,
         )
+
+    def frame_code(self, frame: jnp.ndarray) -> jnp.ndarray:
+        """Embedding row for one scalar frame index (clamped)."""
+        idx = jnp.clip(frame, 0, self.max_frames - 1)
+        return self.nerf.embedding(idx[None])[0]
 
     def lighting(self, normal, xyz_world, view_dir_world, essence):
         return self.lighting_mlp(normal, xyz_world, view_dir_world, essence)

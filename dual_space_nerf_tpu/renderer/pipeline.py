@@ -112,6 +112,12 @@ class RenderSettings:
     n_fine: int = 0                  # hierarchical samples (FINE_RAY_SAMPLING)
     mlp_chunk: int = 32768
     knn_impl: str = "auto"
+    # Importance-gated shading: density is evaluated at every sample, but the
+    # expensive color path (canonical KNN + transport + vjp normal + lighting)
+    # runs only on the top-K samples per ray by compositing weight; the
+    # remaining samples' colors are exactly the weights' tail (~0). 0 = off
+    # (reference-exact shading of all samples).
+    shade_topk: int = 0
     # v5e's 16 GB fits the full second-order graph at SMPL scale; remat
     # costs ~5% step time and is only needed for much larger scenes
     remat: bool = False
@@ -132,6 +138,7 @@ class RenderSettings:
             mlp_chunk=cfg.MODEL.MLP_CHUNK,
             knn_impl=cfg.MODEL.KNN_IMPL,
             remat=cfg.MODEL.REMAT,
+            shade_topk=max(getattr(cfg.MODEL, "SHADE_TOPK", 0), 0),
         )
 
 
@@ -227,7 +234,7 @@ def _point_network(
     pts_w,          # (n, 3) world points (light transforms already applied)
     pts_c,          # (n, 3) canonical points
     dir_w,          # (n, 3) world view dirs
-    frame_idx,      # (n,) int32
+    code,           # (code_dim,) precomputed frame code (or (n,) frame ids)
     pose_feat,      # (n, 16)
     code_scale,     # ()
     tris_c2,        # (n, 3, 3) canonical tris nearest to pts_c (precomputed)
@@ -240,15 +247,17 @@ def _point_network(
     differentiated/rematerialized region by the caller, so the backward pass
     and remat never recompute a KNN.
     """
+    is_code = code.dtype != jnp.int32
 
     def sigma_essence(xc):
         essence, density = model.apply(
             params,
             xc,
-            frame_idx,
+            None if is_code else code,
             pose_feat,
             code_scale,
             method="sigma_essence",
+            code=code if is_code else None,
         )
         return essence, density
 
@@ -457,6 +466,24 @@ def _render_with_z(
         ray_d_w=dir_w_flat if settings.warp_dirs else None,
         fidx=fidx_w,
     )
+
+    pose_feat = model.apply(
+        params, batch.body_pose, method="pose_feature"
+    )  # (16,)
+    # one embedding lookup per step; its gradient is a reduction over the
+    # broadcast instead of an n-row scatter into the embedding table
+    if getattr(model, "code_dim", 0) > 0:
+        code = model.apply(params, jnp.asarray(batch.frame), method="frame_code")
+    else:
+        code = jnp.full((n,), batch.frame, jnp.int32)
+
+    if 0 < settings.shade_topk < s:
+        return _gated_shading(
+            params, model, batch, mesh, settings, light, rng_noise, train,
+            z_vals, pts_w, pts_c_flat, tmask_flat, centroids_c, code,
+            pose_feat, from_blocked if blocked else None,
+        )
+
     if use_pruned:
         # warped points inherit the world sort's block coherence
         cidx = pruned_search_presorted(
@@ -482,21 +509,17 @@ def _render_with_z(
     tris_w2_flat = tris_wc2[:, :9].reshape(-1, 3, 3)
     tris_c2_flat = tris_wc2[:, 9:].reshape(-1, 3, 3)
 
-    pose_feat = model.apply(
-        params, batch.body_pose, method="pose_feature"
-    )  # (16,)
-    frame_flat = jnp.full((n,), batch.frame, jnp.int32)
-
     # ---- parameter-dependent stage: the networks (chunked + remat) ----
     def chunk_fn(chunk_args):
-        pw, dw, fi, pc, tmask, tc2, tw2 = chunk_args
+        pw, dw, pc, tmask, tc2, tw2 = chunk_args
         # Inference-time light-space manipulation of the *world* coords seen
         # by the LightingMLP (`spacenet.py:254-263`).
         xy = (pw[:, :2] - light.rot_center[:2]) @ light.rot + light.rot_center[:2]
         pw_light = jnp.concatenate([xy, pw[:, 2:]], axis=-1) + light.light_bias
         pf = jnp.broadcast_to(pose_feat, (pw.shape[0], pose_feat.shape[-1]))
         color, sigma = _point_network(
-            params, model, pw_light, pc, dw, fi, pf, light.code_scale, tc2, tw2
+            params, model, pw_light, pc, dw, code, pf, light.code_scale,
+            tc2, tw2,
         )
         sigma = jnp.where(tmask, 0.0, sigma)
         return color, sigma
@@ -506,7 +529,7 @@ def _render_with_z(
 
     color_flat, sigma_flat = _chunked_points(
         chunk_fn, n, min(settings.mlp_chunk, n),
-        (pts_w_flat, dir_w_flat, frame_flat, pts_c_flat, tmask_flat,
+        (pts_w_flat, dir_w_flat, pts_c_flat, tmask_flat,
          tris_c2_flat, tris_w2_flat),
     )
 
@@ -517,6 +540,153 @@ def _render_with_z(
 
     color = color_flat.reshape(r, s, 3)
     sigma = sigma_flat.reshape(r, s)
+
+    out = composite(
+        color,
+        sigma,
+        z_vals,
+        batch.ray_d,
+        noise_std=settings.raw_noise_std if train else 0.0,
+        rng=rng_noise,
+        white_bkgd=settings.white_bkgd,
+    )
+    return {
+        "color": out.rgb,
+        "disp_map": out.disp,
+        "acc_map": out.acc,
+        "depth_map": out.depth,
+        "weights": out.weights,
+        "z_vals": z_vals,
+    }
+
+
+def _gated_shading(
+    params,
+    model,
+    batch: RayBatch,
+    mesh: MeshBundle,
+    settings: RenderSettings,
+    light: LightState,
+    rng_noise,
+    train: bool,
+    z_vals: jnp.ndarray,      # (R, S)
+    pts_w: jnp.ndarray,       # (R, S, 3) world samples
+    pts_c_flat: jnp.ndarray,  # (N, 3) canonical points (possibly blocked order)
+    tmask_flat: jnp.ndarray,  # (N,)
+    centroids_c: jnp.ndarray,
+    code,
+    pose_feat: jnp.ndarray,   # (16,)
+    from_blocked,             # None, or the blocked->original reorder fn
+) -> dict[str, jnp.ndarray]:
+    """Importance-gated shading: density everywhere, color on top-K samples.
+
+    Exactness: per-ray rgb = sum_i w_i c_i; samples outside the top-K by
+    weight contribute at most their (near-zero) weight times a bounded
+    color, so with K covering the weight mass the output matches full
+    shading to the weights' tail. Density (hence weights, acc, depth, the
+    mask loss, and all sigma gradients) is computed at EVERY sample —
+    gating only skips dead color work (canonical KNN + barycentric
+    transport + vjp normal + LightingMLP on ~75% of samples).
+    """
+    r, s = z_vals.shape
+    n = r * s
+    k = settings.shade_topk
+    is_code = code.dtype != jnp.int32
+
+    # ---- density-only pass over ALL samples (chunked) ----
+    def dens_chunk(chunk_args):
+        pc, tmask = chunk_args
+        _, density = model.apply(
+            params,
+            pc,
+            None if is_code else code[: pc.shape[0]],
+            jnp.broadcast_to(pose_feat, (pc.shape[0], pose_feat.shape[-1])),
+            light.code_scale,
+            True,
+            method="sigma_essence",
+            code=code if is_code else None,
+        )
+        return jnp.where(tmask, 0.0, density[..., 0])
+
+    if settings.remat:
+        dens_chunk = jax.checkpoint(dens_chunk)
+    sigma_flat = _chunked_points(
+        dens_chunk, n, min(settings.mlp_chunk, n), (pts_c_flat, tmask_flat)
+    )
+    if from_blocked is not None:
+        sigma_flat = from_blocked(sigma_flat)
+        pts_c_flat = from_blocked(pts_c_flat)
+        tmask_flat = from_blocked(tmask_flat)
+    sigma = sigma_flat.reshape(r, s)
+
+    # ---- select the K samples per ray that carry the weight mass ----
+    # selection uses noise-free weights (deterministic); the final composite
+    # still applies the reference's training noise to the same sigma
+    w_sel = composite(
+        jnp.zeros((r, s, 3), sigma.dtype), sigma, z_vals, batch.ray_d,
+        noise_std=0.0, rng=None,
+    ).weights
+    _, top_idx = jax.lax.top_k(w_sel, k)                      # (R, K)
+    flat_sel = (jnp.arange(r)[:, None] * s + top_idx).reshape(-1)
+
+    pw_sel = pts_w.reshape(n, 3)[flat_sel]                    # (R*K, 3)
+    pc_sel = pts_c_flat[flat_sel]
+    dw_sel = jnp.broadcast_to(
+        batch.ray_d[:, None, :], (r, k, 3)
+    ).reshape(r * k, 3)
+
+    # ---- canonical-space nearest face, selected points only ----
+    if (
+        settings.knn_impl in ("auto", "pruned")
+        and mesh.face_perm is not None
+        and jax.default_backend() == "tpu"
+    ):
+        # ray-major selected points are surface-concentrated and locally
+        # coherent; the pruned search uses them as presorted blocks
+        cidx = pruned_search_presorted(pc_sel, centroids_c, mesh.face_perm)
+    elif settings.knn_impl == "grouped" and mesh.cluster_table is not None:
+        gsz = 4 if k % 4 == 0 else (2 if k % 2 == 0 else 1)
+        cidx = nearest_face_grouped(
+            pc_sel.reshape(-1, gsz, 3), centroids_c, mesh.cluster_table
+        ).reshape(r * k)
+    else:
+        cidx = nearest_face(
+            pc_sel, centroids_c, settings.knn_impl, mesh.cluster_table
+        )
+    faces_wc2 = jnp.concatenate(
+        [
+            mesh.verts_world[mesh.faces].reshape(-1, 9),
+            mesh.verts_cano[mesh.faces].reshape(-1, 9),
+        ],
+        axis=-1,
+    )
+    tris_wc2 = faces_wc2[cidx]
+    tris_w2 = tris_wc2[:, :9].reshape(-1, 3, 3)
+    tris_c2 = tris_wc2[:, 9:].reshape(-1, 3, 3)
+
+    # ---- full color path on the selected samples (chunked) ----
+    def chunk_fn(chunk_args):
+        pw, dw, pc, tc2, tw2 = chunk_args
+        xy = (pw[:, :2] - light.rot_center[:2]) @ light.rot + light.rot_center[:2]
+        pw_light = jnp.concatenate([xy, pw[:, 2:]], axis=-1) + light.light_bias
+        pf = jnp.broadcast_to(pose_feat, (pw.shape[0], pose_feat.shape[-1]))
+        color, _ = _point_network(
+            params, model, pw_light, pc, dw, code, pf, light.code_scale,
+            tc2, tw2,
+        )
+        return color
+
+    if settings.remat:
+        chunk_fn = jax.checkpoint(chunk_fn)
+    color_sel = _chunked_points(
+        chunk_fn, r * k, min(settings.mlp_chunk, r * k),
+        (pw_sel, dw_sel, pc_sel, tris_c2, tris_w2),
+    )
+
+    color = jnp.zeros((r, s, 3), color_sel.dtype)
+    color = color.at[jnp.arange(r)[:, None], top_idx].set(
+        color_sel.reshape(r, k, 3)
+    )
 
     out = composite(
         color,

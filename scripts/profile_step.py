@@ -140,3 +140,40 @@ if __name__ == "__main__":
         )
     )
     print(f"GG near/far kernel      : {timeit(gg, iters=args.iters):8.2f} ms")
+
+    # ---- finer breakdown of the non-KNN portion ----
+    import dual_space_nerf_tpu.renderer.pipeline as pl_mod
+    from dual_space_nerf_tpu.renderer import LightState
+    from dual_space_nerf_tpu.renderer.pipeline import (
+        _point_network,
+        warp_world_to_canonical,
+    )
+    from dual_space_nerf_tpu.models import DualSpaceNeRF
+
+    for dtype, tag in ((None, "f32"), (jnp.bfloat16, "bf16")):
+        model = DualSpaceNeRF(compute_dtype=dtype)
+        state = create_train_state(model, tx, jax.random.key(0))
+        params = state.params
+        pose_feat = jnp.zeros((n, 16), jnp.float32)
+        frame_flat = jnp.zeros((n,), jnp.int32)
+        tris = jnp.zeros((n, 3, 3), jnp.float32)
+
+        def net_loss(params, pc):
+            color, sigma = _point_network(
+                params, model, pts, pc, pts, frame_flat, pose_feat,
+                jnp.float32(1.0), tris + pc[:, None, :], tris + pc[:, None, :],
+            )
+            return jnp.mean(color ** 2) + jnp.mean(sigma ** 2)
+
+        netgrad = jax.jit(lambda p, pc: jax.grad(net_loss)(p, pc))
+        ms = timeit(netgrad, params, pts, iters=args.iters)
+        print(f"network fwd+bwd {tag} ({n} pts, unchunked): {ms:8.2f} ms")
+
+    settings = RenderSettings(n_samples=S, sample_mode="GG", knn_impl="xla")
+    warp = jax.jit(
+        lambda p: warp_world_to_canonical(
+            p, geom, cents_w, settings,
+            fidx=jnp.zeros((n,), jnp.int32),
+        )[0]
+    )
+    print(f"warp math (KNN excluded)   : {timeit(warp, pts, iters=args.iters):8.2f} ms")

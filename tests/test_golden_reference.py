@@ -70,6 +70,11 @@ def reference_env(tmp_path_factory):
     """Import the reference with pytorch3d stubbed and .cuda() neutralized."""
     saved_modules = dict(sys.modules)
     saved_cuda = (torch.Tensor.cuda, torch.nn.Module.cuda)
+    # tests/test_torch_parity.py sets the default dtype to float64 at module
+    # import; the reference pipeline mixes fresh tensors with f32 inputs and
+    # needs the stock default
+    saved_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float32)
     pkg, ops = _fake_pytorch3d()
     sys.modules["pytorch3d"] = pkg
     sys.modules["pytorch3d.ops"] = ops
@@ -84,6 +89,7 @@ def reference_env(tmp_path_factory):
     finally:
         sys.path.remove(REFERENCE)
         torch.Tensor.cuda, torch.nn.Module.cuda = saved_cuda
+        torch.set_default_dtype(saved_dtype)
         for name in list(sys.modules):
             if name not in saved_modules:
                 del sys.modules[name]

@@ -208,3 +208,119 @@ def test_sample_pdf_concentrates_on_peak(rng_np):
     frac_in_peak = ((z >= 0.5) & (z <= 0.5625)).mean()
     assert frac_in_peak > 0.9
     assert (np.diff(z, axis=-1) >= 0).all()
+
+
+def test_gated_shading_matches_full(scene, mesh, model_params):
+    """Importance-gated shading (shade_topk) must match full shading on a
+    model with surface-concentrated density. Train briefly so the weight
+    mass concentrates, then compare gated vs full eval renders."""
+    import optax
+
+    from dual_space_nerf_tpu.data.synthetic import emission_color
+    from dual_space_nerf_tpu.training import (
+        TrainBatch,
+        create_train_state,
+        make_train_step,
+    )
+
+    model, _ = model_params
+    tx = optax.adam(5e-3)
+    state = create_train_state(model, tx, jax.random.key(1))
+    sett = RenderSettings(
+        n_samples=S, sample_mode="GG", mlp_chunk=R * S, knn_impl="xla",
+        raw_noise_std=0.0,
+    )
+    rng = np.random.default_rng(9)
+    eye = (-scene.R.T @ scene.T).ravel()
+    tgt_idx = rng.integers(0, len(scene.verts_world), 64)
+    targets = scene.verts_world[tgt_idx] + 0.02 * rng.standard_normal((64, 3))
+    rays = RayBatch(
+        ray_o=jnp.asarray(np.broadcast_to(eye, (64, 3)), jnp.float32),
+        ray_d=jnp.asarray((targets - eye), jnp.float32),
+        near=jnp.full((64,), 0.5, jnp.float32),
+        far=jnp.full((64,), 2.0, jnp.float32),
+        frame=jnp.asarray(0, jnp.int32),
+        body_pose=jnp.asarray(scene.poses[1:]),
+    )
+    batch = TrainBatch(
+        rays=rays,
+        rgb=jnp.asarray(emission_color(scene.verts_cano[tgt_idx]), jnp.float32),
+        occupancy=jnp.ones((64,), jnp.float32),
+    )
+    step = make_train_step(model, tx, sett)
+    key = jax.random.key(0)
+    for _ in range(30):
+        state, metrics = step(state, batch, mesh, key)
+
+    full = render_rays(
+        state.params, model, rays, mesh, sett, LightState.identity(),
+        rng=None, train=False,
+    )
+    gated_sett = RenderSettings(
+        n_samples=S, sample_mode="GG", mlp_chunk=R * S, knn_impl="xla",
+        raw_noise_std=0.0, shade_topk=S // 2,
+    )
+    gated = render_rays(
+        state.params, model, rays, mesh, gated_sett, LightState.identity(),
+        rng=None, train=False,
+    )
+    # density path is identical
+    np.testing.assert_allclose(
+        np.asarray(gated["weights"]), np.asarray(full["weights"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gated["acc_map"]), np.asarray(full["acc_map"]), atol=1e-6
+    )
+    # color matches to the weight tail outside the top-K
+    w = np.sort(np.asarray(full["weights"]), axis=-1)
+    tail = w[:, : S - S // 2].sum(-1).max()
+    np.testing.assert_allclose(
+        np.asarray(gated["color"]), np.asarray(full["color"]),
+        atol=max(2.0 * tail, 1e-4),
+    )
+    # and on a trained surface the tail is genuinely small
+    assert tail < 0.05, tail
+
+
+def test_gated_shading_trains(scene, mesh, model_params):
+    """A train step with gating enabled is finite and reduces loss."""
+    import optax
+
+    from dual_space_nerf_tpu.data.synthetic import emission_color
+    from dual_space_nerf_tpu.training import (
+        TrainBatch,
+        create_train_state,
+        make_train_step,
+    )
+
+    model, _ = model_params
+    tx = optax.adam(5e-3)
+    state = create_train_state(model, tx, jax.random.key(2))
+    sett = RenderSettings(
+        n_samples=S, sample_mode="GG", mlp_chunk=R * S, knn_impl="xla",
+        shade_topk=S // 2,
+    )
+    rng = np.random.default_rng(11)
+    eye = (-scene.R.T @ scene.T).ravel()
+    tgt_idx = rng.integers(0, len(scene.verts_world), 32)
+    targets = scene.verts_world[tgt_idx] + 0.02 * rng.standard_normal((32, 3))
+    rays = RayBatch(
+        ray_o=jnp.asarray(np.broadcast_to(eye, (32, 3)), jnp.float32),
+        ray_d=jnp.asarray((targets - eye), jnp.float32),
+        near=jnp.full((32,), 0.5, jnp.float32),
+        far=jnp.full((32,), 2.0, jnp.float32),
+        frame=jnp.asarray(0, jnp.int32),
+        body_pose=jnp.asarray(scene.poses[1:]),
+    )
+    batch = TrainBatch(
+        rays=rays,
+        rgb=jnp.asarray(emission_color(scene.verts_cano[tgt_idx]), jnp.float32),
+        occupancy=jnp.ones((32,), jnp.float32),
+    )
+    step = make_train_step(model, tx, sett)
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, batch, mesh, jax.random.key(3))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
