@@ -4,10 +4,12 @@ The reference computes LPIPS(alex) and LPIPS(vgg) at formal test time
 (`test.py:18-23, 77-85`) using pretrained CNNs. Pretrained weights cannot be
 downloaded in an air-gapped environment, so this wrapper:
 
-1. uses the `lpips` package if it is installed and its weights resolve;
-2. otherwise loads a user-provided torchscript module from
-   `cfg.TEST.LPIPS_WEIGHTS`;
-3. otherwise reports None and eval scripts skip the metric.
+1. runs the pure-JAX implementation (evaluation/lpips_jax.py) from a
+   weights npz at `cfg.TEST.LPIPS_WEIGHTS` (see
+   tool/convert_lpips_weights.py) — no torch at eval time;
+2. else uses the `lpips` torch package if installed and its weights resolve;
+3. else loads a user-provided torchscript module from the same path;
+4. otherwise reports None and eval scripts skip the metric.
 
 Inputs follow the reference protocol: RGB in (-1, 1), BGR->RGB flipped
 before the call.
@@ -23,6 +25,15 @@ import numpy as np
 
 def make_lpips(net: str = "alex", weights_path: str = "") -> Callable | None:
     """Returns fn(pred_hw3, gt_hw3) -> float, images in [0,1] BGR, or None."""
+    if weights_path:
+        from .lpips_jax import make_lpips_jax
+
+        try:
+            fn = make_lpips_jax(net, weights_path)
+        except Exception:
+            fn = None
+        if fn is not None:
+            return fn
     try:
         import lpips as _lpips  # optional dependency
         import torch

@@ -5,15 +5,22 @@ Equivalent of the reference's `Renderer.render_view` + `post_process`
 mask are rendered in fixed-size jitted chunks and scattered back into the
 H x W canvas. One compiled executable serves every image and every light
 state (light params are traced inputs).
+
+With a device mesh (`mesh_devices`), each chunk's ray axis is sharded over
+the mesh ('rays' axis) with parameters and geometry replicated — validation
+and formal test then use every chip of a pod instead of one (SURVEY.md
+section 2 "Collectives": the image assembly's all_gather is the XLA-inserted
+collective behind the replicated outputs).
 """
 
 from __future__ import annotations
 
 import jax
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.batching import item_to_mesh, iter_ray_chunks
-from ..renderer import LightState, RenderSettings, render_rays
+from ..renderer import LightState, RayBatch, RenderSettings, render_rays
 
 
 class ImageRenderer:
@@ -25,21 +32,37 @@ class ImageRenderer:
         faces: np.ndarray,
         verts_cano: np.ndarray,
         chunk: int = 4096,
+        mesh_devices: Mesh | None = None,
     ):
         self.model = model
         self.params = params
         self.settings = settings
         self.faces = faces
         self.verts_cano = verts_cano
+        if mesh_devices is not None:
+            n_dev = mesh_devices.devices.size
+            chunk = -(-chunk // n_dev) * n_dev  # ray axis must split evenly
         self.chunk = chunk
 
-        @jax.jit
-        def _render_chunk(params, rays, mesh, light):
+        def _render(params, rays, mesh, light):
             return render_rays(
                 params, model, rays, mesh, settings, light, None, train=False
             )
 
-        self._render_chunk = _render_chunk
+        if mesh_devices is None:
+            self._render_chunk = jax.jit(_render)
+        else:
+            rep = NamedSharding(mesh_devices, P())
+            ray = NamedSharding(mesh_devices, P("rays"))
+            ray_shardings = RayBatch(
+                ray_o=ray, ray_d=ray, near=ray, far=ray,
+                frame=rep, body_pose=rep,
+            )
+            self._render_chunk = jax.jit(
+                _render,
+                in_shardings=(rep, ray_shardings, rep, rep),
+                out_shardings=rep,
+            )
 
     def render_item(
         self,

@@ -93,3 +93,44 @@ def test_select_dataset_synthetic(tiny_cfg):
     assert len(train) > 0 and len(val) > 0
     nv, npo = select_dataset(tiny_cfg, formal_test=True)
     assert len(nv) > 0 and len(npo) > 0
+
+
+def test_sharded_image_renderer_matches_single_device(tiny_cfg):
+    """Eval chunks sharded over the 8-virtual-device ray mesh must produce
+    the same image as the unsharded renderer (SURVEY.md section 2
+    'Collectives': all_gather-backed eval image assembly)."""
+    import jax
+
+    from dual_space_nerf_tpu.cli.common import build_model
+    from dual_space_nerf_tpu.data import SyntheticDataset
+    from dual_space_nerf_tpu.evaluation import ImageRenderer
+    from dual_space_nerf_tpu.parallel import make_ray_mesh
+    from dual_space_nerf_tpu.renderer import RenderSettings
+
+    cfg = tiny_cfg
+    val_set = SyntheticDataset(split="val", n_frames=1, n_views=1, h=48, w=48)
+    model = build_model(cfg)
+    params = model.init(
+        jax.random.key(11),
+        np.zeros((4, 3), np.float32),
+        np.zeros((4,), np.int32),
+        np.zeros((4, 16), np.float32),
+    )
+    faces = np.asarray(val_set.faces)
+    sett = RenderSettings.from_cfg(cfg)
+
+    single = ImageRenderer(
+        model, params, sett, faces, val_set.canonical_vertex, chunk=500
+    )
+    mesh = make_ray_mesh(jax.devices()[:8])
+    sharded = ImageRenderer(
+        model, params, sett, faces, val_set.canonical_vertex, chunk=500,
+        mesh_devices=mesh,
+    )
+    assert sharded.chunk % 8 == 0  # rounded up to the mesh size
+
+    item = val_set[0]
+    out_a = single.render_item(item)
+    out_b = sharded.render_item(item)
+    for k in out_a:
+        np.testing.assert_allclose(out_b[k], out_a[k], atol=2e-5, err_msg=k)
