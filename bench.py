@@ -69,6 +69,10 @@ def main():
         # v5e's 16 GB holds the full second-order graph at this workload;
         # remat costs ~6 ms/step (measured, scripts/profile_step.py)
         remat=False,
+        # production config: density at all 64 samples, color on the top-16
+        # by weight with nearest-shaded tail completion (README
+        # "Importance-gated shading"; convergence A/B in EXP/conv_r2_*)
+        shade_topk=16,
     )
 
     from dual_space_nerf_tpu.data.batching import item_to_mesh

@@ -4,6 +4,12 @@ Replaces the reference's torch DataLoader worker processes (`main.py:96-99`)
 with a thread pool (cv2/numpy release the GIL for the heavy parts: imread,
 undistort, resize) feeding a bounded queue. Items are prepared ahead of the
 train step so the TPU never waits on the host.
+
+Abandoning an epoch mid-iteration (generator GC, `break`, a new `iter()`)
+STOPS the workers: they check a per-epoch stop event between items and the
+bounded output queue uses timed puts so no thread blocks forever. Without
+this, threads from a discarded iterator keep reading the dataset — racing
+cv2 buffers and outliving temp directories.
 """
 
 from __future__ import annotations
@@ -51,10 +57,11 @@ class PrefetchLoader:
             idx_q.put(int(i))
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         n_alive = threading.Semaphore(0)
+        stop = threading.Event()
 
         def worker():
             try:
-                while True:
+                while not stop.is_set():
                     try:
                         i = idx_q.get_nowait()
                     except queue.Empty:
@@ -62,7 +69,12 @@ class PrefetchLoader:
                     item = self.dataset[i]
                     if self.transform is not None:
                         item = self.transform(item)
-                    out_q.put(item)
+                    while not stop.is_set():
+                        try:
+                            out_q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
             finally:
                 n_alive.release()
 
@@ -76,12 +88,21 @@ class PrefetchLoader:
         def closer():
             for _ in workers:
                 n_alive.acquire()
-            out_q.put(_SENTINEL)
+            while not stop.is_set():
+                try:
+                    out_q.put(_SENTINEL, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
 
         threading.Thread(target=closer, daemon=True).start()
 
-        while True:
-            item = out_q.get()
-            if item is _SENTINEL:
-                return
-            yield item
+        try:
+            while True:
+                item = out_q.get()
+                if item is _SENTINEL:
+                    return
+                yield item
+        finally:
+            # reached on epoch end, break, or generator GC: release workers
+            stop.set()

@@ -683,10 +683,16 @@ def _gated_shading(
         (pw_sel, dw_sel, pc_sel, tris_c2, tris_w2),
     )
 
-    color = jnp.zeros((r, s, 3), color_sel.dtype)
-    color = color.at[jnp.arange(r)[:, None], top_idx].set(
-        color_sel.reshape(r, k, 3)
-    )
+    # tail completion: every unselected sample takes the color of the
+    # NEAREST selected sample on its ray (colors vary smoothly along a ray,
+    # so the weight tail contributes ~its true color instead of black —
+    # without this, early-training diffuse weights bias renders dark and
+    # cost ~2 dB of converged PSNR, measured on the synthetic A/B)
+    color_k = color_sel.reshape(r, k, 3)
+    samples = jnp.arange(s)[None, :, None]                    # (1, S, 1)
+    dist_k = jnp.abs(samples - top_idx[:, None, :])           # (R, S, K)
+    nearest = jnp.argmin(dist_k, axis=-1)                     # (R, S)
+    color = jnp.take_along_axis(color_k, nearest[..., None], axis=1)
 
     out = composite(
         color,

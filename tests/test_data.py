@@ -182,3 +182,55 @@ def test_cluster_cache_keyed_by_content_not_id():
     v2_copy = v2.copy()
     _, perm3 = _spatial_tables_for(faces, v2_copy)
     assert np.array_equal(np.asarray(perm2), np.asarray(perm3))
+
+
+def test_get_rays_at_matches_full_grid():
+    from dual_space_nerf_tpu.data.rays import get_rays, get_rays_at
+
+    rng = np.random.default_rng(4)
+    K = np.array([[80.0, 0, 32], [0, 80.0, 32], [0, 0, 1]])
+    R, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    T = rng.standard_normal((3, 1))
+    ro_all, rd_all = get_rays(48, 64, K, R, T)
+    coords = np.stack(
+        [rng.integers(0, 48, 50), rng.integers(0, 64, 50)], axis=1
+    )
+    ro, rd = get_rays_at(coords, K, R, T)
+    np.testing.assert_array_equal(ro, ro_all[coords[:, 0], coords[:, 1]])
+    np.testing.assert_array_equal(rd, rd_all[coords[:, 0], coords[:, 1]])
+    # normalized flavor (H36M)
+    _, rd_all_n = get_rays(48, 64, K, R, T, normalize=True)
+    _, rd_n = get_rays_at(coords, K, R, T, normalize=True)
+    np.testing.assert_array_equal(rd_n, rd_all_n[coords[:, 0], coords[:, 1]])
+
+
+def test_prefetch_abandoned_iterator_stops_workers():
+    """Breaking out of an epoch must stop the worker threads (they used to
+    keep loading into a dead queue, racing cv2 and outliving tempdirs)."""
+    import threading
+    import time
+
+    from dual_space_nerf_tpu.data.prefetch import PrefetchLoader
+
+    reads = []
+
+    class SlowDS:
+        def __len__(self):
+            return 200
+
+        def __getitem__(self, i):
+            reads.append(i)
+            time.sleep(0.005)
+            return i
+
+    loader = PrefetchLoader(SlowDS(), shuffle=False, num_workers=4, prefetch=2)
+    it = iter(loader)
+    for _ in range(3):
+        next(it)
+    it.close()  # abandon the epoch
+    time.sleep(0.1)
+    n_after_close = len(reads)
+    time.sleep(0.4)
+    # workers may finish their in-flight item but must not keep going
+    assert len(reads) <= n_after_close + 4, (len(reads), n_after_close)
+    assert threading.active_count() < 20
