@@ -46,8 +46,7 @@ def main():
 
     from dual_space_nerf_tpu.cli.common import build_model
     from dual_space_nerf_tpu.config import get_cfg_defaults
-    from dual_space_nerf_tpu.data.synthetic import make_scene
-    from dual_space_nerf_tpu.renderer import MeshBundle, RayBatch, RenderSettings
+    from dual_space_nerf_tpu.renderer import RenderSettings
     from dual_space_nerf_tpu.training import (
         TrainBatch,
         create_train_state,
@@ -75,38 +74,24 @@ def main():
         shade_topk=16,
     )
 
-    from dual_space_nerf_tpu.data.batching import item_to_mesh
+    # rays come from the REAL host pipeline — a 512x512 splatted image of the
+    # SMPL-sized capsule, the reference's 60/5/35 importance sampler, and
+    # the production batch conversion (spatial pixel sort + padding) — so
+    # the pruned search's block coherence is the one a real ZJU batch has,
+    # not a synthetic presorted layout
+    from dual_space_nerf_tpu.data import SyntheticDataset
+    from dual_space_nerf_tpu.data.batching import (
+        item_to_mesh,
+        item_to_train_batch,
+    )
 
-    rng = np.random.default_rng(0)
-    scene = make_scene()  # V=6890, F=13776
-    geom = item_to_mesh(
-        {"xyz": scene.verts_world}, scene.faces, scene.verts_cano
+    dataset = SyntheticDataset(
+        split="train", nrays=NRAYS, n_frames=1, n_views=1, h=512, w=512,
     )
-    eye = (-scene.R.T @ scene.T).ravel()
-    targets = scene.verts_world[rng.integers(0, len(scene.verts_world), NRAYS)]
-    targets = targets + 0.03 * rng.standard_normal((NRAYS, 3))
-    # host-side spatial ray ordering (data/batching.py does this for real
-    # batches); tightens the pruned search's blocks
-    key = (
-        (targets[:, 0] * 8).astype(int) * 4096
-        + (targets[:, 1] * 8).astype(int) * 64
-        + (targets[:, 2] * 8).astype(int)
-    )
-    targets = targets[np.argsort(key)]
-    d = (targets - eye).astype(np.float32)
-    rays = RayBatch(
-        ray_o=jnp.asarray(np.broadcast_to(eye, (NRAYS, 3)), jnp.float32),
-        ray_d=jnp.asarray(d),
-        near=jnp.full((NRAYS,), 0.5, jnp.float32),
-        far=jnp.full((NRAYS,), 3.5, jnp.float32),
-        frame=jnp.asarray(0, jnp.int32),
-        body_pose=jnp.asarray(scene.poses[1:], jnp.float32),
-    )
-    batch = TrainBatch(
-        rays=rays,
-        rgb=jnp.asarray(rng.random((NRAYS, 3)), jnp.float32),
-        occupancy=jnp.ones((NRAYS,), jnp.float32),
-    )
+    item = dataset[0]
+    batch = item_to_train_batch(item, NRAYS)
+    geom = item_to_mesh(item, np.asarray(dataset.faces),
+                        dataset.canonical_vertex)
 
     tx, _ = make_optimizer(cfg)
     state = create_train_state(model, tx, jax.random.key(0))

@@ -178,3 +178,41 @@ def test_pruned_tables_geometry(smpl_like):
             continue
         d = np.linalg.norm(tile_pts - tile_c[:3, t], axis=-1)
         assert (d <= tile_r[0, t] + 1e-4).all()
+
+
+def test_pruned_search_under_shard_map(smpl_like, rng_np):
+    """The Pallas kernel partitioned over the ray mesh (how a pod would run
+    it: each device searches its ray shard against replicated centroids).
+    Sharded == unsharded, on the 8-virtual-device mesh in interpret mode."""
+    import functools
+
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    scene, cents, perm = smpl_like
+    base = scene.verts_world[rng_np.integers(0, len(scene.verts_world), 256)]
+    pts = (base + 0.05 * rng_np.standard_normal((256, 3))).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rays",))
+    cents_j = jnp.asarray(cents)
+
+    search = functools.partial(
+        pruned_search_presorted, centroids=cents_j, face_perm=perm,
+        interpret=True,
+    )
+    sharded = jax.jit(
+        shard_map(
+            search, mesh=mesh, in_specs=P("rays"), out_specs=P("rays"),
+            # pallas_call's ShapeDtypeStruct carries no varying-mesh-axes
+            # annotation; skip the replication check (the per-shard computation
+            # is independent by construction)
+            check_rep=False,
+        )
+    )
+    got = np.asarray(sharded(jnp.asarray(pts)))
+    want = np.asarray(search(jnp.asarray(pts)))
+    np.testing.assert_allclose(
+        brute_dist(pts, cents, got), brute_dist(pts, cents, want), atol=1e-6
+    )
+    assert_matches_brute(pts, cents, got)
