@@ -36,7 +36,7 @@ _C.MODEL.LOSSwMask = False
 # --- TPU-specific model/runtime knobs (not in reference) -------------------
 _C.MODEL.MAX_FRAMES = 500          # nn.Embedding(500, 8) (spacenet.py:41)
 _C.MODEL.CODE_DIM = 8
-_C.MODEL.MLP_CHUNK = 32768         # points per lax.map microbatch
+_C.MODEL.MLP_CHUNK = 8192          # points per lax.map microbatch (swept on v5e: 8192=83.6k, 16384=83.0k, 32768=81.3k, 65536=70.3k rays/s)
 _C.MODEL.MATMUL_PRECISION = "f32"  # "f32" | "bf16" matmul accumulation input
 _C.MODEL.KNN_IMPL = "auto"         # "auto" | "pruned" | "pallas" | "xla" | "grouped" | "clustered"
 _C.MODEL.REMAT = False             # jax.checkpoint the per-point network

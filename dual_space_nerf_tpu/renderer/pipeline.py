@@ -110,7 +110,7 @@ class RenderSettings:
     perturb: float = 1.0
     raw_noise_std: float = 1.0
     n_fine: int = 0                  # hierarchical samples (FINE_RAY_SAMPLING)
-    mlp_chunk: int = 32768
+    mlp_chunk: int = 8192
     knn_impl: str = "auto"
     # Importance-gated shading: density is evaluated at every sample, but the
     # expensive color path (canonical KNN + transport + vjp normal + lighting)
