@@ -620,12 +620,16 @@ def _gated_shading(
     sigma = sigma_flat.reshape(r, s)
 
     # ---- select the K samples per ray that carry the weight mass ----
-    # selection uses noise-free weights (deterministic); the final composite
-    # still applies the reference's training noise to the same sigma
+    # selection must see the SAME noisy weights the final composite applies
+    # (same rng): with noise-free selection, the training noise (std 1.0)
+    # randomly promotes unselected samples to meaningful weights each step
+    # and their approximated colors bias the renders (~1.3 dB of converged
+    # PSNR on the synthetic S=64/K=16 A/B)
     w_sel = composite(
         jnp.zeros((r, s, 3), sigma.dtype), sigma, z_vals, batch.ray_d,
-        noise_std=0.0, rng=None,
+        noise_std=settings.raw_noise_std if train else 0.0, rng=rng_noise,
     ).weights
+    w_sel = jax.lax.stop_gradient(w_sel)
     _, top_idx = jax.lax.top_k(w_sel, k)                      # (R, K)
     flat_sel = (jnp.arange(r)[:, None] * s + top_idx).reshape(-1)
 
