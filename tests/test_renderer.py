@@ -324,3 +324,22 @@ def test_gated_shading_trains(scene, mesh, model_params):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_gated_shading_with_fine_pass(scene, mesh, model_params):
+    """SHADE_TOPK composes with hierarchical sampling: the fine pass gates
+    over its own (coarse+fine) sample axis."""
+    model, params = model_params
+    sett = RenderSettings(
+        n_samples=S, n_fine=S, sample_mode="GG", mlp_chunk=R * S,
+        knn_impl="xla", perturb=0.0, raw_noise_std=0.0, shade_topk=S // 2,
+    )
+    batch = _ray_batch(scene)
+    out = render_rays(
+        params, model, batch, mesh, sett, LightState.identity(),
+        rng=None, train=False,
+    )
+    assert out["fine_color"].shape == (R, 3)
+    assert np.isfinite(np.asarray(out["fine_color"])).all()
+    # fine weights cover 2S samples; gating shaded only S/2 of each pass
+    assert out["fine_weights"].shape == (R, 2 * S)
