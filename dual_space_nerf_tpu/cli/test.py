@@ -86,9 +86,15 @@ def main(argv=None):
     parser.add_argument("-c", "--config", default="")
     parser.add_argument("--exp", type=str, default="test")
     parser.add_argument("--ckpt", type=str, required=True)
+    parser.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard eval ray chunks over all local devices (replicated "
+        "params, ray-axis mesh)",
+    )
     args = parser.parse_args(argv)
 
     from ..data import select_dataset
+    from ..parallel import local_ray_mesh
     from .common import eval_settings, load_cfg, load_faces, load_render_state
 
     cfg = load_cfg(args.config)
@@ -104,6 +110,7 @@ def main(argv=None):
     renderer = ImageRenderer(
         model, params, eval_settings(cfg), faces,
         novel_view_set.canonical_vertex, chunk=cfg.TEST.RAY_CHUNK,
+        mesh_devices=local_ray_mesh() if args.data_parallel else None,
     )
     lpips_alex = make_lpips("alex", cfg.TEST.LPIPS_WEIGHTS)
     lpips_vgg = make_lpips("vgg", cfg.TEST.LPIPS_WEIGHTS)
