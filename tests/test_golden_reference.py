@@ -129,6 +129,12 @@ def golden(reference_env, tmp_path_factory):
 
     torch.manual_seed(0)
     ref_net = ref_spacenet.DualSpaceNeRF(cfg).float()
+    # the randomly-initialized density head emits sigma <= 0 at every sample
+    # (relu(sigma) == 0 -> all weights/colors identically zero, which would
+    # make the color-path comparisons vacuous); bias it positive so the
+    # composited outputs carry real signal through both pipelines
+    with torch.no_grad():
+        ref_net.nerf.density_net[0].bias += 3.0
     ref_net.eval()
     renderer = ref_can_render.Renderer(
         ref_net,
@@ -172,6 +178,8 @@ def golden(reference_env, tmp_path_factory):
     return {
         "scene": scene,
         "cfg": cfg,
+        "renderer": renderer,
+        "batch": batch,
         "ref_net": ref_net,
         "batch_np": {
             "eye": eye, "ray_d": d, "poses": poses, "frame": 3,
@@ -353,3 +361,82 @@ def test_final_outputs_match(golden, ours):
     np.testing.assert_allclose(
         np.asarray(out["disp_map"]), golden["disp"], rtol=2e-3, atol=2e-3
     )
+
+
+def _run_reference(golden):
+    """Re-render the reference with whatever light state is set on its net."""
+    batch = {
+        k: (v.clone() if torch.is_tensor(v) else v)
+        for k, v in golden["batch"].items()
+    }
+    return (
+        golden["renderer"].render(batch)["coarse"]["color"]
+        .reshape(R, 3).detach().numpy()
+    )
+
+
+def _run_ours(ours, light):
+    out = render_rays(
+        ours["params"], ours["model"], ours["rays"], ours["mesh"],
+        ours["settings"], light, rng=None, train=False,
+    )
+    return np.asarray(out["color"])
+
+
+def test_relight_rotation_matches_reference(golden, ours):
+    """The vis_lighting path: world xy rotated about a pivot before the
+    LightingMLP (`spacenet.py:254-258`, `vis_lighting.py:57-58,86-91`) ==
+    our LightState(rot, rot_center)."""
+    angle = 72.0
+    rad = np.pi * angle / 180.0
+    rot = np.array(
+        [[np.cos(rad), -np.sin(rad)], [np.sin(rad), np.cos(rad)]], np.float32
+    )
+    center = np.array([0.05, -0.02, 0.6], np.float32)
+
+    net = golden["ref_net"]
+    net.set_rot_center(torch.tensor(center)[None])
+    net.set_rot(torch.tensor(rot))
+    try:
+        want = _run_reference(golden)
+    finally:
+        net.rot_center = None
+        net.rot = None
+
+    light = LightState.identity()._replace(
+        rot=jnp.asarray(rot), rot_center=jnp.asarray(center)
+    )
+    got = _run_ours(ours, light)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+    # and the rotation must actually change the image
+    base = _run_ours(ours, LightState.identity())
+    assert np.abs(got - base).max() > 1e-4
+
+
+def test_light_center_and_zero_code_match_reference(golden, ours):
+    """The novel-pose inference setup: light_center world shift
+    (`spacenet.py:260-263`) + frame-code zeroing (`nerf.w = 0`,
+    `test.py:193-196`) == our LightState(light_bias, code_scale=0)."""
+    light_center = np.array([0.3, -0.1, 1.1], np.float32)
+    th = np.zeros((1, 1, 3), np.float32)  # batch Th (subject translation)
+
+    net = golden["ref_net"]
+    golden["batch"]["Th"] = torch.tensor(th)
+    net.set_light_center(torch.tensor(light_center))
+    net.nerf.w = 0
+    try:
+        want = _run_reference(golden)
+    finally:
+        net.light_center = None
+        net.nerf.w = None
+        del golden["batch"]["Th"]
+
+    bias = light_center - th.reshape(-1, 3).mean(axis=0)
+    light = LightState.identity()._replace(
+        light_bias=jnp.asarray(bias),
+        code_scale=jnp.asarray(0.0, jnp.float32),
+    )
+    got = _run_ours(ours, light)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+    base = _run_ours(ours, LightState.identity())
+    assert np.abs(got - base).max() > 1e-4
