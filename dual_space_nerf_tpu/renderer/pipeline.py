@@ -407,11 +407,15 @@ def _render_with_z(
     # searches (sorted blocks skip most centroid tiles) and the network
     # itself is order-agnostic, so the inverse permutation is applied only
     # to the final per-point (color, sigma).
-    use_pruned = (
-        settings.knn_impl in ("auto", "pruned")
-        and mesh.face_perm is not None
-        and jax.default_backend() == "tpu"
+    # "auto" picks the pruned Pallas path only on real TPUs; explicitly
+    # requesting "pruned" uses it anywhere (interpret mode off-TPU) so CI
+    # exercises the production kernel inside the sharded train jit
+    on_tpu = jax.default_backend() == "tpu"
+    use_pruned = mesh.face_perm is not None and (
+        settings.knn_impl == "pruned"
+        or (settings.knn_impl == "auto" and on_tpu)
     )
+    pruned_interp = not on_tpu
     use_grouped = (
         settings.knn_impl == "grouped" and mesh.cluster_table is not None
     )
@@ -453,7 +457,8 @@ def _render_with_z(
             jnp.broadcast_to(batch.ray_d[:, None, :], (r, s, 3))
         )
         fidx_w = pruned_search_presorted(
-            pts_w_flat, centroids_w, mesh.face_perm
+            pts_w_flat, centroids_w, mesh.face_perm,
+            interpret=pruned_interp,
         )
     elif use_grouped:
         fidx_w = nearest_face_grouped(
@@ -487,7 +492,8 @@ def _render_with_z(
     if use_pruned:
         # warped points inherit the world sort's block coherence
         cidx = pruned_search_presorted(
-            pts_c_flat, centroids_c, mesh.face_perm
+            pts_c_flat, centroids_c, mesh.face_perm,
+            interpret=pruned_interp,
         )
     elif use_grouped:
         cidx = nearest_face_grouped(
@@ -640,14 +646,16 @@ def _gated_shading(
     ).reshape(r * k, 3)
 
     # ---- canonical-space nearest face, selected points only ----
-    if (
-        settings.knn_impl in ("auto", "pruned")
-        and mesh.face_perm is not None
-        and jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    if mesh.face_perm is not None and (
+        settings.knn_impl == "pruned"
+        or (settings.knn_impl == "auto" and on_tpu)
     ):
         # ray-major selected points are surface-concentrated and locally
         # coherent; the pruned search uses them as presorted blocks
-        cidx = pruned_search_presorted(pc_sel, centroids_c, mesh.face_perm)
+        cidx = pruned_search_presorted(
+            pc_sel, centroids_c, mesh.face_perm, interpret=not on_tpu
+        )
     elif settings.knn_impl == "grouped" and mesh.cluster_table is not None:
         gsz = 4 if k % 4 == 0 else (2 if k % 2 == 0 else 1)
         cidx = nearest_face_grouped(

@@ -440,3 +440,23 @@ def test_light_center_and_zero_code_match_reference(golden, ours):
     np.testing.assert_allclose(got, want, atol=2e-3)
     base = _run_ours(ours, LightState.identity())
     assert np.abs(got - base).max() > 1e-4
+
+
+def test_uniform_sampling_mode_matches_reference(golden, ours):
+    """sample_points_mode='uniform' z values vs the reference's
+    uniform_sampling (`pts_utils.py:3-16`), eval determinism."""
+    b = golden["batch"]
+    _, z_ref = golden["renderer"].get_sampling_points(
+        b["ray_o"], b["ray_d"], b["near"].clone(), b["far"].clone(),
+        b["xyz"], mode="uniform",
+    )
+    sett = RenderSettings(
+        n_samples=S, sample_mode="uniform", mlp_chunk=R * S, knn_impl="xla",
+    )
+    out = render_rays(
+        ours["params"], ours["model"], ours["rays"], ours["mesh"], sett,
+        LightState.identity(), rng=None, train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["z_vals"]), z_ref.reshape(R, S).numpy(), atol=2e-5
+    )

@@ -193,3 +193,38 @@ def test_fine_pass_is_supervised(setup):
         float(v) for k, v in metrics.items() if k.startswith(("loss_", "fine_"))
     )
     np.testing.assert_allclose(float(metrics["loss"]), total, rtol=1e-5)
+
+
+def test_sharded_step_with_pruned_pallas_kernel(setup):
+    """The production Pallas KNN inside the GSPMD-sharded train jit
+    (interpret mode on CPU): sharded == unsharded. On a real pod this is
+    the path knn_impl='auto' takes."""
+    from dual_space_nerf_tpu.data.batching import item_to_mesh
+
+    scene, _, model, tx, _ = setup
+    geom = item_to_mesh(
+        {"xyz": scene.verts_world},
+        np.asarray(scene.faces), scene.verts_cano,
+    )
+    sett = RenderSettings(
+        n_samples=S, sample_mode="GG", mlp_chunk=2 * S, knn_impl="pruned",
+        perturb=0.0, raw_noise_std=0.0,
+    )
+    batch = _train_batch(scene, r=16)
+    rng = jax.random.key(3)
+
+    state_a = create_train_state(model, tx, jax.random.key(0))
+    step_a = make_train_step(model, tx, sett)
+    state_a, ma = step_a(state_a, batch, geom, rng)
+
+    ray_mesh = Mesh(np.array(jax.devices()[:8]), ("rays",))
+    state_b = create_train_state(model, tx, jax.random.key(0))
+    step_b = make_train_step(model, tx, sett, mesh=ray_mesh)
+    state_b, mb = step_b(state_b, batch, geom, rng)
+
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
