@@ -1,4 +1,4 @@
-"""Sorted, tile-pruned nearest-face search (Pallas).
+"""Tile-pruned nearest-face search (Pallas), the production TPU KNN.
 
 The brute-force kernel (ops/nearest_face.py) is VPU-bound at ~36 ms for
 352k x 13776 on v5e. This variant skips most of that work:
@@ -6,13 +6,16 @@ The brute-force kernel (ops/nearest_face.py) is VPU-bound at ~36 ms for
 1. Centroids are permuted into spatially-compact contiguous TILES (kd-median
    order, reusing ops/clustered_knn.build_face_clusters), with per-tile
    bounding spheres.
-2. Query points are Morton-sorted on device (~4.6 ms) so each kernel block
-   of P consecutive points is spatially tight.
-3. Per block, the kernel computes the block's bounding sphere, processes the
-   closest tile first to establish a distance bound, then visits the
-   remaining tiles under `@pl.when(tile_lower_bound < block_best)` — for
-   coherent blocks most tiles are skipped entirely.
-4. Results are scattered back to the original point order (~4.4 ms).
+2. Query points arrive in a spatially-coherent order — the renderer's
+   block layout groups adjacent rays' consecutive samples (host-side pixel
+   sort, renderer/pipeline.py), so no device sort is needed; the
+   `nearest_face_pruned` wrapper Morton-sorts arbitrary point sets.
+3. Per block, the kernel computes the block's bounding sphere, seeds a
+   per-lane running minimum from the closest tile, then visits remaining
+   tiles under `pl.when(tile_lower_bound < threshold)` with the threshold
+   (worst point's current best) tightened after every visit — for coherent
+   blocks most tiles are skipped entirely; see `_pruned_kernel` for why
+   the loop is a static unroll over VMEM scratch.
 
 Exactness: the skip criterion is the true sphere-to-sphere lower bound, so
 the result equals brute force bit-for-bit (ties aside).
@@ -28,8 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Small point blocks trade grid overhead for tighter bounding spheres and
-# thus more tile skipping; swept on v5e at the ZJU-313 workload:
-# (512,1024)=108.7, (256,1024)=100.2, (128,1024)=95.4 ms/train-step.
+# thus more tile skipping; swept end-to-end on v5e at the ZJU-313 workload
+# (r2 kernel): (128,1024)=59.0, (256,1024)=59.0, (128,512)=66.4, (256,512)=67.2 ms/step.
 _BLOCK_P = 128
 _BLOCK_F = 1024
 
