@@ -36,7 +36,7 @@ _C.MODEL.LOSSwMask = False
 # --- TPU-specific model/runtime knobs (not in reference) -------------------
 _C.MODEL.MAX_FRAMES = 500          # nn.Embedding(500, 8) (spacenet.py:41)
 _C.MODEL.CODE_DIM = 8
-_C.MODEL.MLP_CHUNK = 8192          # points per lax.map microbatch (swept on v5e: 8192=83.6k, 16384=83.0k, 32768=81.3k, 65536=70.3k rays/s)
+_C.MODEL.MLP_CHUNK = 16384         # points per lax.map microbatch (swept on v5e at SHADE_TOPK=8, 1024-pt KNN blocks: 16384=51.9, 8192=52.8, 24576=54.2, 32768=56.4 ms/step)
 _C.MODEL.MATMUL_PRECISION = "f32"  # "f32" | "bf16" matmul accumulation input
 _C.MODEL.KNN_IMPL = "auto"         # "auto" | "pruned" | "pallas" | "xla" | "grouped" | "clustered"
 _C.MODEL.REMAT = False             # jax.checkpoint the per-point network

@@ -19,6 +19,10 @@ The brute-force kernel (ops/nearest_face.py) is VPU-bound at ~36 ms for
 
 Exactness: the skip criterion is the true sphere-to-sphere lower bound, so
 the result equals brute force bit-for-bit (ties aside).
+
+`block_p`/`block_f`/`tighten` are exposed for benchmarking sweeps
+(scripts/sweep_knn.py); the module defaults are the production
+configuration and all callers in the renderer use them.
 """
 
 from __future__ import annotations
@@ -30,16 +34,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Small point blocks trade grid overhead for tighter bounding spheres and
-# thus more tile skipping; swept end-to-end on v5e at the ZJU-313 workload
-# (r2 kernel): (128,1024)=59.0, (256,1024)=59.0, (128,512)=66.4, (256,512)=67.2 ms/step.
-_BLOCK_P = 128
-_BLOCK_F = 1024
+# Block sizes swept on the isolated production workload (scripts/sweep_knn.py,
+# v5e, min of 3 interleaved passes, 352k blocked points x 13776 faces):
+#   (128,1024)=21.4  (256,1024)=18.1  (512,1024)=18.3  (1024,512)=16.8
+#   (1024,256)=18.9  (512,256)=21.8   (2048,256)=19.7  ms
+# Large point blocks win despite looser bounding spheres: fewer grid steps
+# amortize the per-block prologue (bounding sphere + tile lower bounds +
+# seed argmin) and the per-tile branch overhead; 512-wide face tiles then
+# claw back pruning granularity. (1024,1024)/(2048,512) exceed the 16 MB
+# VMEM scoped allocation (2 x P x F x 4B scratch).
+_BLOCK_P = 1024
+_BLOCK_F = 512
+# tighten the skip threshold after every visited tile (1); 0 = seed-only.
+# Values >1 (tighten every k-th loop index) measure strictly worse: the
+# reduction is cheaper than the extra tile visits a stale threshold admits.
+_TIGHTEN = 1
 
 
 def _pruned_kernel(
     pts_ref, cent_ref, tile_c_ref, tile_r_ref, idx_ref, best_ref, btile_ref,
-    thresh_ref, *, n_tiles,
+    thresh_ref, *, n_tiles, block_f, tighten,
 ):
     """pts (P,3); cent (3,F_pad) transposed, padded cols at 1e15;
     tile_c (8, T_pad) transposed tile centers (rows 0..2 used);
@@ -78,16 +92,16 @@ def _pruned_kernel(
     )                                                         # (1, T_pad)
 
     def tile_d2(t):
-        start = t * _BLOCK_F
-        cx = cent_ref[0:1, pl.ds(start, _BLOCK_F)]
-        cy = cent_ref[1:2, pl.ds(start, _BLOCK_F)]
-        cz = cent_ref[2:3, pl.ds(start, _BLOCK_F)]
+        start = t * block_f
+        cx = cent_ref[0:1, pl.ds(start, block_f)]
+        cy = cent_ref[1:2, pl.ds(start, block_f)]
+        cz = cent_ref[2:3, pl.ds(start, block_f)]
         dx = px - cx
         dy = py - cy
         dz = pz - cz
         return dx * dx + dy * dy + dz * dz
 
-    # the CLOSEST tile (dynamic, 1024-aligned slice) seeds the running
+    # the CLOSEST tile (dynamic, block_f-aligned slice) seeds the running
     # minimum and the skip threshold, so the threshold is tight immediately
     # (a stale threshold only admits extra tiles — exactness is preserved)
     tile_lane = jax.lax.broadcasted_iota(jnp.int32, lb.shape, 1)
@@ -99,44 +113,57 @@ def _pruned_kernel(
     # worst point's current best; tightened after every visited tile
     thresh_ref[0] = jnp.sqrt(jnp.max(jnp.min(d2, axis=-1)))
 
+    visit_count = 0
     for t in range(n_tiles):             # static unroll
+        visit_count += 1
+        do_tighten = tighten > 0 and (visit_count % max(tighten, 1) == 0)
+
         @pl.when(jnp.logical_and(t != t0, lb[0, t] < thresh_ref[0]))
-        def _visit(t=t):
+        def _visit(t=t, do_tighten=do_tighten):
             d2t = tile_d2(t)
             m = d2t < best_ref[:]
             best_ref[:] = jnp.where(m, d2t, best_ref[:])
             btile_ref[:] = jnp.where(m, t, btile_ref[:])
-            thresh_ref[0] = jnp.sqrt(
-                jnp.max(jnp.min(best_ref[:], axis=-1))
-            )
+            if do_tighten:
+                thresh_ref[0] = jnp.sqrt(
+                    jnp.max(jnp.min(best_ref[:], axis=-1))
+                )
 
     # decode: per-point min distance, then the smallest id achieving it
     best = best_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, best.shape, 1)
     pmin = jnp.min(best, axis=-1, keepdims=True)
-    gid = btile_ref[:] * _BLOCK_F + lane
+    gid = btile_ref[:] * block_f + lane
     cand = jnp.where(best <= pmin, gid, jnp.int32(2**30))
     idx_ref[:] = jnp.min(cand, axis=-1, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles", "interpret"))
-def _pruned_search_sorted(pts_sorted, cent_t, tile_c, tile_r, n_tiles, interpret=False):
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_tiles", "interpret", "block_p", "block_f", "tighten"),
+)
+def _pruned_search_sorted(
+    pts_sorted, cent_t, tile_c, tile_r, n_tiles, interpret=False,
+    block_p=_BLOCK_P, block_f=_BLOCK_F, tighten=_TIGHTEN,
+):
     n_pad = pts_sorted.shape[0]
     idx = pl.pallas_call(
-        functools.partial(_pruned_kernel, n_tiles=n_tiles),
-        grid=(n_pad // _BLOCK_P,),
+        functools.partial(
+            _pruned_kernel, n_tiles=n_tiles, block_f=block_f, tighten=tighten
+        ),
+        grid=(n_pad // block_p,),
         in_specs=[
-            pl.BlockSpec((_BLOCK_P, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_p, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(cent_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tile_c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tile_r.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BLOCK_P, 1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_p, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((_BLOCK_P, _BLOCK_F), jnp.float32),
-            pltpu.VMEM((_BLOCK_P, _BLOCK_F), jnp.int32),
+            pltpu.VMEM((block_p, block_f), jnp.float32),
+            pltpu.VMEM((block_p, block_f), jnp.int32),
             pltpu.SMEM((1,), jnp.float32),
         ],
         interpret=interpret,
@@ -144,12 +171,14 @@ def _pruned_search_sorted(pts_sorted, cent_t, tile_c, tile_r, n_tiles, interpret
     return idx[:, 0]
 
 
-def pruned_tables(centroids: jnp.ndarray, face_perm: jnp.ndarray):
+def pruned_tables(
+    centroids: jnp.ndarray, face_perm: jnp.ndarray, block_f: int = _BLOCK_F
+):
     """Precompute the kernel's inputs for one centroid set:
     (cent_t (3, F_pad), tile_c (8, T_pad), tile_r (8, T_pad), n_tiles)."""
     f = centroids.shape[0]
-    f_pad = -(-f // _BLOCK_F) * _BLOCK_F
-    n_tiles = f_pad // _BLOCK_F
+    f_pad = -(-f // block_f) * block_f
+    n_tiles = f_pad // block_f
 
     cent_perm = centroids[face_perm].astype(jnp.float32)
     cent_t = jnp.full((3, f_pad), jnp.float32(1e15))
@@ -157,9 +186,9 @@ def pruned_tables(centroids: jnp.ndarray, face_perm: jnp.ndarray):
 
     pad_f = jnp.full((f_pad - f, 3), 1e15, jnp.float32)
     cent_full = jnp.concatenate([cent_perm, pad_f], axis=0).reshape(
-        n_tiles, _BLOCK_F, 3
+        n_tiles, block_f, 3
     )
-    t_valid = jnp.arange(f_pad).reshape(n_tiles, _BLOCK_F) < f
+    t_valid = jnp.arange(f_pad).reshape(n_tiles, block_f) < f
     w = t_valid[..., None].astype(jnp.float32)
     counts = jnp.maximum(t_valid.sum(-1), 1)[:, None]
     centers = (jnp.where(w > 0, cent_full, 0.0) * w).sum(1) / counts
@@ -182,17 +211,23 @@ def pruned_search_presorted(
     centroids: jnp.ndarray,
     face_perm: jnp.ndarray,
     interpret: bool = False,
+    block_p: int = _BLOCK_P,
+    block_f: int = _BLOCK_F,
+    tighten: int = _TIGHTEN,
 ) -> jnp.ndarray:
     """Search for ALREADY spatially-sorted points (N, 3) -> (N,) face ids.
 
     The caller owns the sort/unsort (so one sort can serve several searches
     and the un-permutation can be deferred to the end of a pipeline)."""
     n = pts_sorted.shape[0]
-    n_pad = -(-n // _BLOCK_P) * _BLOCK_P
-    cent_t, tile_c, tile_r, n_tiles = pruned_tables(centroids, face_perm)
+    n_pad = -(-n // block_p) * block_p
+    cent_t, tile_c, tile_r, n_tiles = pruned_tables(
+        centroids, face_perm, block_f=block_f
+    )
     pts_p = jnp.pad(pts_sorted.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
     idx_local = _pruned_search_sorted(
-        pts_p, cent_t, tile_c, tile_r, n_tiles, interpret=interpret
+        pts_p, cent_t, tile_c, tile_r, n_tiles, interpret=interpret,
+        block_p=block_p, block_f=block_f, tighten=tighten,
     )[:n]
     return face_perm[idx_local]
 

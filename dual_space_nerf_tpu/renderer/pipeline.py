@@ -110,7 +110,7 @@ class RenderSettings:
     perturb: float = 1.0
     raw_noise_std: float = 1.0
     n_fine: int = 0                  # hierarchical samples (FINE_RAY_SAMPLING)
-    mlp_chunk: int = 8192
+    mlp_chunk: int = 16384
     knn_impl: str = "auto"
     # Importance-gated shading: density is evaluated at every sample, but the
     # expensive color path (canonical KNN + transport + vjp normal + lighting)
@@ -121,6 +121,12 @@ class RenderSettings:
     # v5e's 16 GB fits the full second-order graph at SMPL scale; remat
     # costs ~5% step time and is only needed for much larger scenes
     remat: bool = False
+    # consecutive samples per ray kept adjacent in the block-coherent point
+    # layout (the kernel block is then block_p/block_sc adjacent rays x
+    # block_sc samples); swept end-to-end on v5e at the ZJU-313 workload
+    # (1024-pt kernel blocks, chunk 16384): 4 = 55.1 ms/step, 8 = 52.4,
+    # 16 = 51.9, 32 = 51.6, 64 = 52.1
+    block_sc: int = 32
     warp_dirs: bool = False          # reference computes-but-discards these
     uv_floor: float = -4.0
     uv_ceil: float = 5.0
@@ -434,7 +440,7 @@ def _render_with_z(
     # sorts the sampled pixels (data/batching.py does; eval chunks are
     # scanline-ordered already). A transpose costs <1 ms vs ~28 ms for a
     # Morton argsort + scatter at this N.
-    sc = 8
+    sc = settings.block_sc
     while s % sc:
         sc //= 2
     n_sc = s // sc

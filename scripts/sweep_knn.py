@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Sweep pruned-KNN kernel variants on the production bench workload.
+
+Builds the exact point set the train step feeds the world nearest-face
+search (SyntheticDataset 512x512 -> importance-sampled rays -> GG near/far
+-> stratified samples -> the renderer's block-coherent layout) and times
+`pruned_search_presorted` across (block_p, block_f, tighten) variants.
+
+Usage: python scripts/sweep_knn.py [--iters 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+NRAYS, S = 5500, 64
+
+
+def timeit(fn, *args, iters=30, warmup=3):
+    for _ in range(warmup):
+        out = fn(*args)
+    np.asarray(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    np.asarray(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    import jax.numpy as jnp
+
+    from dual_space_nerf_tpu.data import SyntheticDataset
+    from dual_space_nerf_tpu.data.batching import item_to_mesh, item_to_train_batch
+    from dual_space_nerf_tpu.geometry import stratified_z, sample_along_rays
+    from dual_space_nerf_tpu.ops import face_centroids
+    from dual_space_nerf_tpu.ops.gg_pallas import gg_near_far_pallas
+    from dual_space_nerf_tpu.ops.pruned_knn import pruned_search_presorted
+
+    dataset = SyntheticDataset(
+        split="train", nrays=NRAYS, n_frames=1, n_views=1, h=512, w=512,
+    )
+    item = dataset[0]
+    batch = item_to_train_batch(item, NRAYS)
+    geom = item_to_mesh(
+        item, np.asarray(dataset.faces), dataset.canonical_vertex
+    )
+    rays = batch.rays
+
+    @jax.jit
+    def make_pts():
+        near, far = gg_near_far_pallas(
+            rays.ray_o, rays.ray_d, rays.near, rays.far, geom.verts_world,
+            gamma=0.05,
+        )
+        z = stratified_z(near, far, S, jax.random.key(0))
+        pts = sample_along_rays(rays.ray_o, rays.ray_d, z)  # (R, S, 3)
+        # the renderer's block layout: (sample-chunk, ray, sample-within)
+        sc = 8
+        y = pts.reshape(NRAYS, S // sc, sc, 3)
+        y = jnp.swapaxes(y, 0, 1)
+        return y.reshape(NRAYS * S, 3)
+
+    pts = jax.block_until_ready(make_pts())
+    np.asarray(pts)
+    cents_w = face_centroids(geom.verts_world, geom.faces)
+
+    variants = [
+        (128, 1024, 1),   # production default
+        (128, 1024, 0),
+        (128, 1024, 2),
+        (256, 1024, 1),
+        (128, 512, 1),
+        (128, 512, 0),
+        (256, 512, 1),
+        (128, 2048, 1),
+        (256, 2048, 1),
+        (512, 1024, 1),
+    ]
+    base = None
+    for bp, bf, tg in variants:
+        fn = jax.jit(
+            lambda p, bp=bp, bf=bf, tg=tg: pruned_search_presorted(
+                p, cents_w, geom.face_perm, block_p=bp, block_f=bf, tighten=tg
+            )
+        )
+        ms = timeit(fn, pts, iters=args.iters)
+        if base is None:
+            base = fn(pts)
+        else:
+            mism = int(jnp.sum(fn(pts) != base))
+            if mism:
+                print(f"  !! ({bp},{bf},tighten={tg}): {mism} mismatches vs default")
+        print(f"block_p={bp:4d} block_f={bf:5d} tighten={tg}: {ms:7.2f} ms")

@@ -169,9 +169,11 @@ def test_pruned_tables_geometry(smpl_like):
     )
     cent_t = np.asarray(cent_t)
     tile_c, tile_r = np.asarray(tile_c), np.asarray(tile_r)
+    from dual_space_nerf_tpu.ops.pruned_knn import _BLOCK_F
+
     f = len(cents)
     for t in range(n_tiles):
-        cols = slice(t * 1024, min((t + 1) * 1024, f))
+        cols = slice(t * _BLOCK_F, min((t + 1) * _BLOCK_F, f))
         tile_pts = cent_t[:3, cols].T
         tile_pts = tile_pts[(tile_pts < 1e14).all(axis=1)]
         if len(tile_pts) == 0:
