@@ -69,11 +69,14 @@ def main():
         # remat costs ~6 ms/step (measured, scripts/profile_step.py)
         remat=False,
         # production config: density at all 64 samples, color on the top-8
-        # by noisy compositing weight with nearest-shaded tail completion.
-        # Quality-neutral: the K=8-trained checkpoint evaluates (full
-        # shading, held-out views) at 18.07 dB vs 17.54 dB for the
-        # full-trained one (EXP/conv_s64_g8 vs EXP/conv_s64_full).
+        # by noisy compositing weight with nearest-shaded tail completion,
+        # and the canonical normal-transport face taken from the world warp
+        # instead of a second KNN. Quality-neutral (scripts/ab_convergence.py,
+        # 60-epoch A/Bs evaluated with EXACT shading on held-out views):
+        # exact 19.34 dB / K=8 19.15 / K=8+reuse 19.31 masked PSNR, SSIM
+        # 0.802 / 0.804 / 0.805.
         shade_topk=8,
+        reuse_warp_faces=True,
     )
 
     # rays come from the REAL host pipeline — a 512x512 splatted image of the

@@ -45,6 +45,11 @@ _C.MODEL.REMAT = False             # jax.checkpoint the per-point network
 # the top-K samples per ray by compositing weight. 0/-1 = off (shade all
 # samples, reference-exact). The weights' tail bounds the approximation.
 _C.MODEL.SHADE_TOPK = 0
+# Reuse the world warp's nearest-face id for the canonical->world normal
+# transport instead of re-running the canonical-space KNN (the reference
+# re-searches, spacenet.py:278-298; the results agree for ~all near-surface
+# samples). Approximation; off by default.
+_C.MODEL.REUSE_WARP_FACES = False
 
 # ----------------------------------------------------------------------------
 # Dataset

@@ -118,6 +118,14 @@ class RenderSettings:
     # remaining samples' colors are exactly the weights' tail (~0). 0 = off
     # (reference-exact shading of all samples).
     shade_topk: int = 0
+    # Reuse the world-space warp's face id for the canonical->world normal
+    # transport instead of re-running the nearest-face search in canonical
+    # space (the reference re-searches, `spacenet.py:278-298`). The warped
+    # point lies ON that face's canonical triangle (|h| <= 0.1 after the
+    # transparent mask), so the re-search returns the same face for almost
+    # every sample; enabling this skips one KNN per step. Approximation —
+    # off by default; quality-gated like shade_topk (see README).
+    reuse_warp_faces: bool = False
     # v5e's 16 GB fits the full second-order graph at SMPL scale; remat
     # costs ~5% step time and is only needed for much larger scenes
     remat: bool = False
@@ -138,6 +146,9 @@ class RenderSettings:
         return cls(
             n_samples=cfg.MODEL.COARSE_RAY_SAMPLING,
             n_fine=max(cfg.MODEL.FINE_RAY_SAMPLING, 0),
+            reuse_warp_faces=bool(
+                getattr(cfg.MODEL, "REUSE_WARP_FACES", False)
+            ),
             sample_mode=cfg.MODEL.sample_points_mode,
             perturb=cfg.MODEL.perturb,
             raw_noise_std=cfg.MODEL.raw_noise_std,
@@ -231,6 +242,40 @@ def normal_canonical_to_world(
     return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
 
 
+def _faces_table(mesh: MeshBundle) -> jnp.ndarray:
+    """(F, 18) rows of [world tri (9) | canonical tri (9)] per face.
+
+    One contiguous row gather per point serves both triangle spaces."""
+    return jnp.concatenate(
+        [
+            mesh.verts_world[mesh.faces].reshape(-1, 9),
+            mesh.verts_cano[mesh.faces].reshape(-1, 9),
+        ],
+        axis=-1,
+    )
+
+
+def _warp_chunk(pts_w, fidx, faces_wc, settings: RenderSettings):
+    """Fused gather + barycentric transport for one chunk of points.
+
+    Returns (pts_c, tmask, tris_w, tris_c). MUST run inside a lax.map chunk
+    body (or another fused consumer): XLA emits gather-rooted HBM writes at
+    ~0.6 GB/s (a materialized (352k, 18) row gather costs ~44 ms on v5e),
+    but the same gather fused into elementwise consumers is ~free. The
+    renderer therefore passes int32 face ids between stages and replays
+    this cheap transport math wherever canonical coordinates are needed.
+    """
+    tris_wc = faces_wc[fidx]                                    # (n, 18)
+    tris_w = tris_wc[:, :9].reshape(-1, 3, 3)
+    tris_c = tris_wc[:, 9:].reshape(-1, 3, 3)
+    uv, h = project_point2mesh(pts_w, tris_w)
+    tmask = transparent_mask(
+        uv, h, settings.uv_floor, settings.uv_ceil, settings.max_surface_dist
+    )
+    pts_c = barycentric_map(uv, h, tris_c)
+    return pts_c, tmask, tris_w, tris_c
+
+
 # ---------------------------------------------------------------------------
 # Per-point network evaluation (chunked, rematerialized)
 # ---------------------------------------------------------------------------
@@ -298,6 +343,15 @@ def _chunked_points(fn, n_points: int, chunk: int, args: tuple):
     """
     n_chunks = -(-n_points // chunk)
     n_pad = n_chunks * chunk - n_points
+    if n_chunks == 1:
+        # single chunk: skip the scan entirely (no stacking, no carry)
+        out = fn(jax.tree.map(
+            lambda x: jnp.pad(
+                x, [(0, n_pad)] + [(0, 0)] * (x.ndim - 1), mode="edge"
+            ) if n_pad else x,
+            args,
+        ))
+        return jax.tree.map(lambda x: x[:n_points], out)
 
     def pad(x):
         if n_pad == 0:
@@ -404,13 +458,17 @@ def _render_with_z(
     centroids_w = face_centroids(mesh.verts_world, mesh.faces)
     centroids_c = face_centroids(mesh.verts_cano, mesh.faces)
 
-    # ---- parameter-independent stage: warp + both nearest-face searches ----
+    # ---- parameter-independent stage: the nearest-face searches ----
     # Nothing here depends on params, so it sits outside the loss gradient
-    # and outside remat: each KNN runs exactly once per step.
+    # and outside remat: each KNN runs exactly once per step. The
+    # barycentric warp itself is NOT hoisted: stages exchange int32 face
+    # ids and the cheap transport math replays fused inside each chunk
+    # body (_warp_chunk) — materializing gather-rooted warp outputs costs
+    # ~14 ms/step on v5e.
     #
     # On TPU with a spatial face order available, the whole per-point stage
-    # runs in MORTON-SORTED point order: one sort serves both tile-pruned
-    # searches (sorted blocks skip most centroid tiles) and the network
+    # runs in BLOCK-COHERENT point order: one layout serves both tile-pruned
+    # searches (coherent blocks skip most centroid tiles) and the network
     # itself is order-agnostic, so the inverse permutation is applied only
     # to the final per-point (color, sigma).
     # "auto" picks the pruned Pallas path only on real TPUs; explicitly
@@ -471,12 +529,9 @@ def _render_with_z(
             pts_w.reshape(n // gsz, gsz, 3), centroids_w, mesh.cluster_table
         ).reshape(n)
     else:
-        fidx_w = None
-    pts_c_flat, tmask_flat, _, _ = warp_world_to_canonical(
-        pts_w_flat, mesh, centroids_w, settings,
-        ray_d_w=dir_w_flat if settings.warp_dirs else None,
-        fidx=fidx_w,
-    )
+        fidx_w = nearest_face(
+            pts_w_flat, centroids_w, settings.knn_impl, mesh.cluster_table
+        )
 
     pose_feat = model.apply(
         params, batch.body_pose, method="pose_feature"
@@ -491,11 +546,25 @@ def _render_with_z(
     if 0 < settings.shade_topk < s:
         return _gated_shading(
             params, model, batch, mesh, settings, light, rng_noise, train,
-            z_vals, pts_w, pts_c_flat, tmask_flat, centroids_c, code,
+            z_vals, pts_w, pts_w_flat, fidx_w, centroids_c, code,
             pose_feat, from_blocked if blocked else None,
         )
 
-    if use_pruned:
+    # FULL-shading path: warp + triangle gathers materialize at the top
+    # level, exactly like the reference's structure. (The GATED path above
+    # instead exchanges int32 face ids and replays the warp fused inside
+    # each chunk body — see _gated_shading — which saves ~14 ms/step of
+    # gather-rooted HBM writes on TPU. The same fused-gather-inside-lax.map
+    # graph makes XLA:CPU's LLVM pipeline blow up at large chunk sizes
+    # (minutes-long compiles), so the full path — the CPU/golden-test and
+    # SHADE_TOPK=0 route — keeps the materialized dataflow.)
+    pts_c_flat, tmask_flat, _, _ = warp_world_to_canonical(
+        pts_w_flat, mesh, centroids_w, settings, fidx=fidx_w,
+    )
+
+    if settings.reuse_warp_faces:
+        cidx = fidx_w
+    elif use_pruned:
         # warped points inherit the world sort's block coherence
         cidx = pruned_search_presorted(
             pts_c_flat, centroids_c, mesh.face_perm,
@@ -510,13 +579,7 @@ def _render_with_z(
         cidx = nearest_face(
             pts_c_flat, centroids_c, settings.knn_impl, mesh.cluster_table
         )
-    faces_wc2 = jnp.concatenate(
-        [
-            mesh.verts_world[mesh.faces].reshape(-1, 9),
-            mesh.verts_cano[mesh.faces].reshape(-1, 9),
-        ],
-        axis=-1,
-    )
+    faces_wc2 = _faces_table(mesh)
     tris_wc2 = faces_wc2[cidx]                                      # (N, 18)
     tris_w2_flat = tris_wc2[:, :9].reshape(-1, 3, 3)
     tris_c2_flat = tris_wc2[:, 9:].reshape(-1, 3, 3)
@@ -583,8 +646,8 @@ def _gated_shading(
     train: bool,
     z_vals: jnp.ndarray,      # (R, S)
     pts_w: jnp.ndarray,       # (R, S, 3) world samples
-    pts_c_flat: jnp.ndarray,  # (N, 3) canonical points (possibly blocked order)
-    tmask_flat: jnp.ndarray,  # (N,)
+    pts_w_flat: jnp.ndarray,  # (N, 3) world points (possibly blocked order)
+    fidx_flat: jnp.ndarray,   # (N,) nearest world-face ids (same order)
     centroids_c: jnp.ndarray,
     code,
     pose_feat: jnp.ndarray,   # (16,)
@@ -599,15 +662,22 @@ def _gated_shading(
     mask loss, and all sigma gradients) is computed at EVERY sample —
     gating only skips dead color work (canonical KNN + barycentric
     transport + vjp normal + LightingMLP on ~75% of samples).
+
+    Dataflow: stages exchange only world points + int32 face ids; the
+    barycentric transport (_warp_chunk) is replayed inside each chunk body
+    where its face-row gather fuses for free, instead of materializing
+    (N, 3)/(N, 18) gather-rooted tensors to HBM (~14 ms/step on v5e).
     """
     r, s = z_vals.shape
     n = r * s
     k = settings.shade_topk
     is_code = code.dtype != jnp.int32
+    faces_wc = _faces_table(mesh)
 
-    # ---- density-only pass over ALL samples (chunked) ----
+    # ---- density-only pass over ALL samples (warp fused into the chunk) ----
     def dens_chunk(chunk_args):
-        pc, tmask = chunk_args
+        pw, fi = chunk_args
+        pc, tmask, _, _ = _warp_chunk(pw, fi, faces_wc, settings)
         _, density = model.apply(
             params,
             pc,
@@ -623,12 +693,11 @@ def _gated_shading(
     if settings.remat:
         dens_chunk = jax.checkpoint(dens_chunk)
     sigma_flat = _chunked_points(
-        dens_chunk, n, min(settings.mlp_chunk, n), (pts_c_flat, tmask_flat)
+        dens_chunk, n, min(settings.mlp_chunk, n), (pts_w_flat, fidx_flat)
     )
     if from_blocked is not None:
         sigma_flat = from_blocked(sigma_flat)
-        pts_c_flat = from_blocked(pts_c_flat)
-        tmask_flat = from_blocked(tmask_flat)
+        fidx_flat = from_blocked(fidx_flat)
     sigma = sigma_flat.reshape(r, s)
 
     # ---- select the K samples per ray that carry the weight mass ----
@@ -646,14 +715,22 @@ def _gated_shading(
     flat_sel = (jnp.arange(r)[:, None] * s + top_idx).reshape(-1)
 
     pw_sel = pts_w.reshape(n, 3)[flat_sel]                    # (R*K, 3)
-    pc_sel = pts_c_flat[flat_sel]
+    fi_sel = fidx_flat[flat_sel]
     dw_sel = jnp.broadcast_to(
         batch.ray_d[:, None, :], (r, k, 3)
     ).reshape(r * k, 3)
 
+    # canonical coordinates of the selected points, recomputed from the
+    # face ids (identical per-point math to the density pass — elementwise,
+    # so bit-equal); this small (R*K, 3) tensor is the canonical search's
+    # input and the only materialized warp output in the gated path
+    pc_sel, _, _, _ = _warp_chunk(pw_sel, fi_sel, faces_wc, settings)
+
     # ---- canonical-space nearest face, selected points only ----
     on_tpu = jax.default_backend() == "tpu"
-    if mesh.face_perm is not None and (
+    if settings.reuse_warp_faces:
+        cidx = fi_sel
+    elif mesh.face_perm is not None and (
         settings.knn_impl == "pruned"
         or (settings.knn_impl == "auto" and on_tpu)
     ):
@@ -671,20 +748,14 @@ def _gated_shading(
         cidx = nearest_face(
             pc_sel, centroids_c, settings.knn_impl, mesh.cluster_table
         )
-    faces_wc2 = jnp.concatenate(
-        [
-            mesh.verts_world[mesh.faces].reshape(-1, 9),
-            mesh.verts_cano[mesh.faces].reshape(-1, 9),
-        ],
-        axis=-1,
-    )
-    tris_wc2 = faces_wc2[cidx]
-    tris_w2 = tris_wc2[:, :9].reshape(-1, 3, 3)
-    tris_c2 = tris_wc2[:, 9:].reshape(-1, 3, 3)
 
     # ---- full color path on the selected samples (chunked) ----
     def chunk_fn(chunk_args):
-        pw, dw, pc, tc2, tw2 = chunk_args
+        pw, dw, fi, ci = chunk_args
+        pc, _, _, _ = _warp_chunk(pw, fi, faces_wc, settings)
+        tris_wc2 = faces_wc[ci]                                 # fused gather
+        tw2 = tris_wc2[:, :9].reshape(-1, 3, 3)
+        tc2 = tris_wc2[:, 9:].reshape(-1, 3, 3)
         xy = (pw[:, :2] - light.rot_center[:2]) @ light.rot + light.rot_center[:2]
         pw_light = jnp.concatenate([xy, pw[:, 2:]], axis=-1) + light.light_bias
         pf = jnp.broadcast_to(pose_feat, (pw.shape[0], pose_feat.shape[-1]))
@@ -698,7 +769,7 @@ def _gated_shading(
         chunk_fn = jax.checkpoint(chunk_fn)
     color_sel = _chunked_points(
         chunk_fn, r * k, min(settings.mlp_chunk, r * k),
-        (pw_sel, dw_sel, pc_sel, tris_c2, tris_w2),
+        (pw_sel, dw_sel, fi_sel, cidx),
     )
 
     # tail completion: every unselected sample takes the color of the

@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Training-quality A/B harness on the synthetic dataset.
+
+Trains one run per MODEL-override variant through the real CLI (fresh
+subprocess each, so TPU memory and jit caches reset), then re-evaluates
+every final checkpoint with EXACT reference-semantics shading
+(SHADE_TOPK=0, REUSE_WARP_FACES off) on the held-out val views, reporting
+masked PSNR / SSIM. This is the harness behind the README's quality
+evidence for approximation knobs (SHADE_TOPK, REUSE_WARP_FACES).
+
+Usage:
+  python scripts/ab_convergence.py --epochs 60 \
+      --variant exact "" \
+      --variant reuse "REUSE_WARP_FACES: true" \
+      --variant g8 "SHADE_TOPK: 8"
+
+Each --variant takes (name, yaml-fragment) where the fragment is merged
+under MODEL:.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, ROOT)
+
+BASE_CFG = """\
+MODEL:
+  TYPE: "nerf"
+  COARSE_RAY_SAMPLING: 64
+  FINE_RAY_SAMPLING: -1
+  sample_points_mode: "GG"
+  LOSS: 'L2'
+  LOSSwMask: False
+  MAX_FRAMES: 16
+{model_overrides}
+DATASETS:
+  TYPE: "synthetic"
+  HUMAN: "capsule"
+DATALOADER:
+  NUM_WORKERS: 2
+SOLVER:
+  OPTIMIZER_NAME: "Adam"
+  MAX_EPOCHS: {epochs}
+  BASE_LR: 0.0005
+  WEIGHT_DECAY: 0.0
+  START_ITERS: 3000
+  END_ITERS: 60000
+  LR_SCALE: 0.09
+  WARMUP_ITERS: 10
+  CHECKPOINT_PERIOD: 20
+  LOG_PERIOD: 50
+  BUNCH: 3000
+  TRAIN_NRAYS: 1024
+TEST:
+  IMS_PER_BATCH: 1
+  RAY_CHUNK: 2048
+  light_center: []
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument(
+        "--variant", nargs=2, action="append", metavar=("NAME", "YAML"),
+        required=True,
+    )
+    ap.add_argument("--skip_train", action="store_true",
+                    help="evaluate existing EXP/ab_<name> checkpoints only")
+    args = ap.parse_args()
+
+    results = {}
+    for name, frag in args.variant:
+        exp = f"ab_{name}"
+        cfg_path = f"/tmp/ab_{name}.yml"
+        overrides = "".join(
+            f"  {line.strip()}\n" for line in frag.split(";") if line.strip()
+        )
+        with open(cfg_path, "w", encoding="utf-8") as f:
+            f.write(BASE_CFG.format(
+                epochs=args.epochs, model_overrides=overrides
+            ))
+        if not args.skip_train:
+            print(f"=== training {exp} ===", flush=True)
+            subprocess.run(
+                [sys.executable, "main.py", "-c", cfg_path, "--exp", exp],
+                cwd=ROOT, check=True,
+            )
+        # evaluate the LAST checkpoint with exact shading, fresh process
+        eval_code = f"""
+import sys; sys.path.insert(0, {ROOT!r})
+import json
+from dual_space_nerf_tpu.cli.common import load_cfg, load_render_state, load_faces
+from dual_space_nerf_tpu.cli.validate import val
+from dual_space_nerf_tpu.data import select_dataset
+from dual_space_nerf_tpu.evaluation import ImageRenderer
+from dual_space_nerf_tpu.renderer import RenderSettings
+cfg = load_cfg({cfg_path!r})
+cfg.defrost()
+cfg.MODEL.SHADE_TOPK = 0
+cfg.MODEL.REUSE_WARP_FACES = False
+with open("EXP/{exp}/last_checkpoint") as f:
+    ckpt = "EXP/{exp}/" + f.read().strip()
+_, val_set = select_dataset(cfg, train_nrays=cfg.SOLVER.TRAIN_NRAYS)
+model, params = load_render_state(ckpt, cfg)
+faces = load_faces(cfg, val_set)
+renderer = ImageRenderer(
+    model, params, RenderSettings.from_cfg(cfg), faces,
+    val_set.canonical_vertex, chunk=cfg.TEST.RAY_CHUNK,
+)
+out = val(val_set, renderer, "EXP/{exp}/vis_exact", 0,
+          fixed_frame=min(50, cfg.MODEL.MAX_FRAMES - 1))
+print("ABRESULT " + json.dumps(out))
+"""
+        print(f"=== evaluating {exp} (exact shading) ===", flush=True)
+        proc = subprocess.run(
+            [sys.executable, "-c", eval_code], cwd=ROOT,
+            capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            print(proc.stdout[-2000:])
+            print(proc.stderr[-4000:])
+            raise SystemExit(f"eval failed for {exp}")
+        for line in proc.stdout.splitlines():
+            if line.startswith("ABRESULT "):
+                results[name] = json.loads(line[len("ABRESULT "):])
+        print(name, results.get(name), flush=True)
+
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -92,11 +92,11 @@ if __name__ == "__main__":
     tx, _ = make_optimizer(cfg)
     rngk = jax.random.key(1)
 
-    def step_ms(remat, dtype):
+    def step_ms(remat, dtype, **kw):
         model = DualSpaceNeRF(compute_dtype=dtype)
         settings = RenderSettings(
             n_samples=S, sample_mode="GG", mlp_chunk=cfg.MODEL.MLP_CHUNK,
-            knn_impl="auto", remat=remat,
+            knn_impl="auto", remat=remat, **kw,
         )
         holder = {"s": create_train_state(model, tx, jax.random.key(0))}
         step = make_train_step(model, tx, settings, loss_type="L2")
@@ -111,6 +111,9 @@ if __name__ == "__main__":
     print(f"full step  remat=T f32 : {step_ms(True, None):8.2f} ms")
     print(f"full step  remat=F f32 : {step_ms(False, None):8.2f} ms")
     print(f"full step  remat=F bf16: {step_ms(False, jnp.bfloat16):8.2f} ms")
+    print(f"gated step K=8 (bench config) : {step_ms(False, None, shade_topk=8):8.2f} ms")
+    print(f"gated step K=8 + reuse faces  : "
+          f"{step_ms(False, None, shade_topk=8, reuse_warp_faces=True):8.2f} ms")
 
     # isolated pruned KNN (world + canonical workload shapes)
     n = NRAYS * S

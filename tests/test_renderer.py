@@ -343,3 +343,38 @@ def test_gated_shading_with_fine_pass(scene, mesh, model_params):
     assert np.isfinite(np.asarray(out["fine_color"])).all()
     # fine weights cover 2S samples; gating shaded only S/2 of each pass
     assert out["fine_weights"].shape == (R, 2 * S)
+
+
+def test_reuse_warp_faces_close_to_exact(scene, mesh, model_params):
+    """MODEL.REUSE_WARP_FACES skips the canonical re-search by reusing the
+    world warp's face id for the normal transport. On near-surface samples
+    the re-search agrees with the warp's face for ~all points, so renders
+    must stay close to the exact (reference-semantics) path — in both full
+    and gated shading."""
+    model, params = model_params
+    batch = _ray_batch(scene)
+    for topk in (0, S // 2):
+        exact = render_rays(
+            params, model, batch, mesh,
+            settings(remat=False, perturb=0.0, raw_noise_std=0.0,
+                     shade_topk=topk),
+            LightState.identity(), rng=None, train=False,
+        )
+        fast = render_rays(
+            params, model, batch, mesh,
+            settings(remat=False, perturb=0.0, raw_noise_std=0.0,
+                     shade_topk=topk, reuse_warp_faces=True),
+            LightState.identity(), rng=None, train=False,
+        )
+        # sigma path is untouched -> weights identical
+        np.testing.assert_allclose(
+            np.asarray(exact["weights"]), np.asarray(fast["weights"]),
+            atol=1e-6,
+        )
+        c_exact = np.asarray(exact["color"])
+        c_fast = np.asarray(fast["color"])
+        assert np.isfinite(c_fast).all()
+        # colors differ only where the re-search picked a different face
+        # for the normal transport; on this scene that is a tiny minority
+        close = np.isclose(c_exact, c_fast, atol=1e-3).all(axis=-1)
+        assert close.mean() >= 0.9, close.mean()
