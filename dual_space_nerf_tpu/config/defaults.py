@@ -38,7 +38,7 @@ _C.MODEL.MAX_FRAMES = 500          # nn.Embedding(500, 8) (spacenet.py:41)
 _C.MODEL.CODE_DIM = 8
 _C.MODEL.MLP_CHUNK = 16384         # points per lax.map microbatch (swept on v5e at SHADE_TOPK=8, 1024-pt KNN blocks: 16384=51.9, 8192=52.8, 24576=54.2, 32768=56.4 ms/step)
 _C.MODEL.MATMUL_PRECISION = "f32"  # "f32" | "bf16" matmul accumulation input
-_C.MODEL.KNN_IMPL = "auto"         # "auto" | "pruned" | "pallas" | "xla" | "grouped" | "clustered"
+_C.MODEL.KNN_IMPL = "auto"         # "auto" | "listed" | "pruned" | "pallas" | "xla" | "grouped" | "clustered"
 _C.MODEL.REMAT = False             # jax.checkpoint the per-point network
 # Importance-gated shading: evaluate density at every sample but run the
 # color path (canonical KNN + transport + vjp normal + LightingMLP) only on

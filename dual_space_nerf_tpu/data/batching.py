@@ -85,23 +85,26 @@ def _spatial_tables_for(faces: np.ndarray, verts_cano: np.ndarray):
     key = _mesh_cache_key(faces, verts_cano)
     if key not in _CLUSTER_CACHE:
         from ..ops import build_face_clusters, face_centroids
+        from ..ops.pruned_knn import build_face_tiles
 
         cano = jnp.asarray(verts_cano, jnp.float32)
         cents = np.asarray(face_centroids(cano, jnp.asarray(faces, jnp.int32)))
         table = np.asarray(build_face_clusters(cents).table)
         face_perm = jnp.asarray(table[table >= 0].ravel(), jnp.int32)
-        _CLUSTER_CACHE[key] = (jnp.asarray(table), face_perm)
+        tile_table = build_face_tiles(jnp.asarray(cents))
+        _CLUSTER_CACHE[key] = (jnp.asarray(table), face_perm, tile_table)
     return _CLUSTER_CACHE[key]
 
 
 def item_to_mesh(item: dict, faces: np.ndarray, verts_cano: np.ndarray) -> MeshBundle:
-    table, face_perm = _spatial_tables_for(faces, verts_cano)
+    table, face_perm, tile_table = _spatial_tables_for(faces, verts_cano)
     return MeshBundle(
         faces=jnp.asarray(faces, jnp.int32),
         verts_world=jnp.asarray(item["xyz"], jnp.float32),
         verts_cano=jnp.asarray(verts_cano, jnp.float32),
         cluster_table=table,
         face_perm=face_perm,
+        tile_table=tile_table,
     )
 
 

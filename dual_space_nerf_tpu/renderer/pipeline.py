@@ -45,7 +45,7 @@ from ..geometry import (
 from ..geometry.sampling import sample_pdf
 from ..ops import face_centroids, nearest_face
 from ..ops.clustered_knn import nearest_face_grouped
-from ..ops.pruned_knn import pruned_search_presorted
+from ..ops.pruned_knn import pruned_search_listed, pruned_search_presorted
 
 
 class MeshBundle(NamedTuple):
@@ -63,6 +63,9 @@ class MeshBundle(NamedTuple):
     verts_cano: jnp.ndarray
     cluster_table: jnp.ndarray | None = None
     face_perm: jnp.ndarray | None = None  # (F,) kd-spatial face order
+    # (T, BF) kd-leaf face tiles for the list-driven search (ops/pruned_knn
+    # build_face_tiles); -1 padded. None disables the "listed" impl.
+    tile_table: jnp.ndarray | None = None
 
 
 class RayBatch(NamedTuple):
@@ -471,11 +474,17 @@ def _render_with_z(
     # searches (coherent blocks skip most centroid tiles) and the network
     # itself is order-agnostic, so the inverse permutation is applied only
     # to the final per-point (color, sigma).
-    # "auto" picks the pruned Pallas path only on real TPUs; explicitly
-    # requesting "pruned" uses it anywhere (interpret mode off-TPU) so CI
-    # exercises the production kernel inside the sharded train jit
+    # "auto" picks the list-driven Pallas search only on real TPUs (falling
+    # back to the unrolled tile-pruned kernel when no tile table is built);
+    # explicitly requesting "listed"/"pruned" uses them anywhere (interpret
+    # mode off-TPU) so CI exercises the production kernels inside the
+    # sharded train jit
     on_tpu = jax.default_backend() == "tpu"
-    use_pruned = mesh.face_perm is not None and (
+    use_listed = mesh.tile_table is not None and (
+        settings.knn_impl == "listed"
+        or (settings.knn_impl == "auto" and on_tpu)
+    )
+    use_pruned = not use_listed and mesh.face_perm is not None and (
         settings.knn_impl == "pruned"
         or (settings.knn_impl == "auto" and on_tpu)
     )
@@ -514,16 +523,22 @@ def _render_with_z(
         return y.reshape(n, *x.shape[1:])
 
     blocked = False
-    if use_pruned:
+    if use_listed or use_pruned:
         blocked = True
         pts_w_flat = to_blocked(pts_w)
         dir_w_flat = to_blocked(
             jnp.broadcast_to(batch.ray_d[:, None, :], (r, s, 3))
         )
-        fidx_w = pruned_search_presorted(
-            pts_w_flat, centroids_w, mesh.face_perm,
-            interpret=pruned_interp,
-        )
+        if use_listed:
+            fidx_w = pruned_search_listed(
+                pts_w_flat, centroids_w, mesh.tile_table,
+                interpret=pruned_interp,
+            )
+        else:
+            fidx_w = pruned_search_presorted(
+                pts_w_flat, centroids_w, mesh.face_perm,
+                interpret=pruned_interp,
+            )
     elif use_grouped:
         fidx_w = nearest_face_grouped(
             pts_w.reshape(n // gsz, gsz, 3), centroids_w, mesh.cluster_table
@@ -564,8 +579,13 @@ def _render_with_z(
 
     if settings.reuse_warp_faces:
         cidx = fidx_w
-    elif use_pruned:
+    elif use_listed:
         # warped points inherit the world sort's block coherence
+        cidx = pruned_search_listed(
+            pts_c_flat, centroids_c, mesh.tile_table,
+            interpret=pruned_interp,
+        )
+    elif use_pruned:
         cidx = pruned_search_presorted(
             pts_c_flat, centroids_c, mesh.face_perm,
             interpret=pruned_interp,
@@ -719,6 +739,10 @@ def _gated_shading(
     dw_sel = jnp.broadcast_to(
         batch.ray_d[:, None, :], (r, k, 3)
     ).reshape(r * k, 3)
+    # (Gathering pw/dw/fi inside the color chunk bodies from flat_sel —
+    # the face-table trick applied to ray data — measures 4 ms/step SLOWER
+    # than these small materialized gathers: the index-driven gathers from
+    # full arrays inside lax.map defeat XLA's chunk pipelining.)
 
     # canonical coordinates of the selected points, recomputed from the
     # face ids (identical per-point math to the density pass — elementwise,
@@ -730,12 +754,19 @@ def _gated_shading(
     on_tpu = jax.default_backend() == "tpu"
     if settings.reuse_warp_faces:
         cidx = fi_sel
+    elif mesh.tile_table is not None and (
+        settings.knn_impl == "listed"
+        or (settings.knn_impl == "auto" and on_tpu)
+    ):
+        # ray-major selected points are surface-concentrated and locally
+        # coherent; the listed search uses them as presorted blocks
+        cidx = pruned_search_listed(
+            pc_sel, centroids_c, mesh.tile_table, interpret=not on_tpu
+        )
     elif mesh.face_perm is not None and (
         settings.knn_impl == "pruned"
         or (settings.knn_impl == "auto" and on_tpu)
     ):
-        # ray-major selected points are surface-concentrated and locally
-        # coherent; the pruned search uses them as presorted blocks
         cidx = pruned_search_presorted(
             pc_sel, centroids_c, mesh.face_perm, interpret=not on_tpu
         )

@@ -1,9 +1,10 @@
-"""The production TPU nearest-face path (ops/pruned_knn.py), interpret mode.
+"""The production TPU nearest-face paths (ops/pruned_knn.py), interpret mode.
 
-This is the path `knn_impl="auto"` selects on TPU
-(renderer/pipeline.py: use_pruned) and the one bench.py measures; every
-function here is asserted against brute force. Reference semantics being
-matched: `utils/render_utils.py:84-99` (pytorch3d K=1 knn_points).
+`knn_impl="auto"` on TPU selects the v3 list-driven search (use_listed)
+when a tile table exists, else the v2 unrolled kernel (use_pruned); both
+are what bench.py measures and every function here is asserted against
+brute force. Reference semantics being matched:
+`utils/render_utils.py:84-99` (pytorch3d K=1 knn_points).
 """
 
 import jax.numpy as jnp
@@ -218,3 +219,143 @@ def test_pruned_search_under_shard_map(smpl_like, rng_np):
         brute_dist(pts, cents, got), brute_dist(pts, cents, want), atol=1e-6
     )
     assert_matches_brute(pts, cents, got)
+
+
+# ---------------------------------------------------------------------------
+# list-driven search (pruned_knn.pruned_search_listed, the TPU "listed" impl)
+# ---------------------------------------------------------------------------
+from dual_space_nerf_tpu.ops.pruned_knn import (  # noqa: E402
+    build_face_tiles,
+    listed_tables,
+    pruned_search_listed,
+)
+
+
+@pytest.fixture(scope="module")
+def smpl_tiles(smpl_like):
+    scene, cents, _ = smpl_like
+    return build_face_tiles(jnp.asarray(cents))
+
+
+def _morton_sorted(pts):
+    order = np.asarray(morton_order(jnp.asarray(pts)))
+    return pts[order], order
+
+
+def test_listed_near_surface(smpl_like, smpl_tiles, rng_np):
+    scene, cents, _ = smpl_like
+    base = scene.verts_world[rng_np.integers(0, len(scene.verts_world), 700)]
+    pts = (base + 0.05 * rng_np.standard_normal((700, 3))).astype(np.float32)
+    pts_s, _ = _morton_sorted(pts)
+    got = pruned_search_listed(
+        jnp.asarray(pts_s), jnp.asarray(cents), smpl_tiles,
+        interpret=True, block_p=256,
+    )
+    assert_matches_brute(pts_s, cents, got)
+
+
+def test_listed_uniform_box(smpl_like, smpl_tiles, rng_np):
+    scene, cents, _ = smpl_like
+    lo, hi = cents.min(0) - 1.0, cents.max(0) + 1.0
+    pts = rng_np.uniform(lo, hi, (512, 3)).astype(np.float32)
+    pts_s, _ = _morton_sorted(pts)
+    got = pruned_search_listed(
+        jnp.asarray(pts_s), jnp.asarray(cents), smpl_tiles,
+        interpret=True, block_p=256,
+    )
+    assert_matches_brute(pts_s, cents, got)
+
+
+@pytest.mark.parametrize("n", [1, 127, 300])
+def test_listed_ragged_counts(smpl_like, smpl_tiles, rng_np, n):
+    scene, cents, _ = smpl_like
+    pts = rng_np.standard_normal((n, 3)).astype(np.float32)
+    got = pruned_search_listed(
+        jnp.asarray(pts), jnp.asarray(cents), smpl_tiles,
+        interpret=True, block_p=256,
+    )
+    assert_matches_brute(pts, cents, got)
+
+
+def test_listed_tiny_mesh(rng_np):
+    """F smaller than one tile width: a single 128-wide padded tile."""
+    cents = rng_np.standard_normal((37, 3)).astype(np.float32)
+    tiles = build_face_tiles(jnp.asarray(cents))
+    pts = rng_np.standard_normal((130, 3)).astype(np.float32)
+    got = pruned_search_listed(
+        jnp.asarray(pts), jnp.asarray(cents), tiles,
+        interpret=True, block_p=128,
+    )
+    assert_matches_brute(pts, cents, got)
+
+
+def test_listed_tables_geometry(smpl_like, smpl_tiles):
+    """Tile spheres contain their member centroids; every face appears in
+    exactly one tile; padded slots never map to a real face id twice."""
+    scene, cents, _ = smpl_like
+    table = np.asarray(smpl_tiles)
+    ids = table[table >= 0]
+    assert sorted(ids.tolist()) == list(range(len(cents)))
+    cent_t, tile_c, tile_r, perm_pad, n_tiles = listed_tables(
+        jnp.asarray(cents), smpl_tiles
+    )
+    tile_c, tile_r = np.asarray(tile_c), np.asarray(tile_r)
+    bf = table.shape[1]
+    for t in range(n_tiles):
+        members = table[t][table[t] >= 0]
+        if len(members) == 0:
+            continue
+        d = np.linalg.norm(cents[members] - tile_c[:3, t], axis=-1)
+        assert (d <= tile_r[0, t] + 1e-4).all()
+
+
+def test_listed_inside_renderer(smpl_like, rng_np):
+    """knn_impl='listed' drives the full render pipeline off-TPU (interpret
+    mode), matching the xla dispatch."""
+    import jax
+
+    from dual_space_nerf_tpu.data.batching import item_to_mesh
+    from dual_space_nerf_tpu.models import DualSpaceNeRF
+    from dual_space_nerf_tpu.renderer import (
+        LightState, RayBatch, RenderSettings, render_rays,
+    )
+
+    scene, cents, _ = smpl_like
+    mesh = item_to_mesh(
+        {"xyz": scene.verts_world}, np.asarray(scene.faces), scene.verts_cano
+    )
+    assert mesh.tile_table is not None
+    model = DualSpaceNeRF(max_frames=4)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((4, 3)), jnp.zeros((4,), jnp.int32),
+        jnp.zeros((4, 16)),
+    )
+    r, s = 8, 8
+    eye = (-scene.R.T @ scene.T).ravel()
+    tgt = scene.verts_world[rng_np.integers(0, len(scene.verts_world), r)]
+    batch = RayBatch(
+        ray_o=jnp.asarray(np.broadcast_to(eye, (r, 3)), jnp.float32),
+        ray_d=jnp.asarray((tgt - eye).astype(np.float32)),
+        near=jnp.full((r,), 0.5, jnp.float32),
+        far=jnp.full((r,), 3.5, jnp.float32),
+        frame=jnp.asarray(0, jnp.int32),
+        body_pose=jnp.asarray(scene.poses[1:], jnp.float32),
+    )
+    base = dict(
+        n_samples=s, sample_mode="GG", mlp_chunk=r * s, perturb=0.0,
+        raw_noise_std=0.0,
+    )
+    out_l = render_rays(
+        params, model, batch, mesh, RenderSettings(knn_impl="listed", **base),
+        LightState.identity(), rng=None, train=False,
+    )
+    out_x = render_rays(
+        params, model, batch, mesh, RenderSettings(knn_impl="xla", **base),
+        LightState.identity(), rng=None, train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_l["color"]), np.asarray(out_x["color"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_l["acc_map"]), np.asarray(out_x["acc_map"]), atol=1e-5
+    )
