@@ -169,3 +169,34 @@ def test_gaussian_fourier_features():
     np.testing.assert_allclose(
         np.asarray(out), np.concatenate([np.sin(y), np.cos(y)], -1), atol=1e-5
     )
+
+
+def test_bf16_compute_dtype_parity():
+    """MODEL.MATMUL_PRECISION="bf16" (cli/common.py:28): params stay f32
+    master weights, density/essence/lighting stay finite and track the f32
+    forward. Measured perf-neutral on v5e (the default TPU matmul precision
+    already runs one-pass bf16 on the MXU), so f32 remains the default; this
+    pins the option so flipping it is safe."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (64, 3)).astype(np.float32))
+    fid = jnp.zeros((64,), jnp.int32)
+    pf = jnp.asarray(rng.standard_normal((64, 16)).astype(np.float32))
+
+    m32, params = _init(DualSpaceNeRF(), n=4)
+    m16 = DualSpaceNeRF(compute_dtype=jnp.bfloat16)
+
+    for k, v in jax.tree_util.tree_leaves_with_path(params):
+        assert v.dtype == jnp.float32, jax.tree_util.keystr(k)
+
+    e32, d32 = m32.apply(params, x, fid, pf, 1.0, method="sigma_essence")
+    e16, d16 = m16.apply(params, x, fid, pf, 1.0, method="sigma_essence")
+    assert np.isfinite(np.asarray(e16)).all()
+    assert np.isfinite(np.asarray(d16)).all()
+    # bf16 has ~3 decimal digits; activations are O(1) here
+    np.testing.assert_allclose(np.asarray(e16), np.asarray(e32), atol=0.05)
+    np.testing.assert_allclose(np.asarray(d16), np.asarray(d32), atol=0.15)
+
+    n = jnp.asarray(rng.standard_normal((64, 3)).astype(np.float32))
+    c32 = m32.apply(params, x, n, n, e32, method="lighting")
+    c16 = m16.apply(params, x, n, n, e16, method="lighting")
+    np.testing.assert_allclose(np.asarray(c16), np.asarray(c32), atol=0.1)
