@@ -290,7 +290,10 @@ def build_face_tiles(centroids, block_f: int = _BLOCK_F_LISTED):
 
 def listed_tables(centroids: jnp.ndarray, tile_table: jnp.ndarray):
     """Kernel inputs for one centroid set under a kd-leaf tile table:
-    (cent_t (3, T*BF) padded at 1e15, tile_c (8, T_pad), tile_r (8, T_pad),
+    (cent_t (3, T*BF) padded at 1e15, tile_c (8, T_pad), tile_r (8, T_pad)
+    — row 0 = max member radius (lower bounds), row 1 = MIN member radius
+    (upper bounds: some member sits within d(p,tc) + rmin_t of p, so u_p
+    built from rmin is far tighter than from rmax),
     perm_pad (T*BF,) local-slot -> face id, n_tiles)."""
     t, bf = tile_table.shape
     valid = tile_table >= 0                                     # (T, BF)
@@ -305,6 +308,7 @@ def listed_tables(centroids: jnp.ndarray, tile_table: jnp.ndarray):
     r2 = jnp.sum((jnp.where(valid[..., None], cents, 0.0)
                   - centers[:, None]) ** 2, -1)
     radius = jnp.sqrt(jnp.max(jnp.where(valid, r2, 0.0), -1))
+    rmin = jnp.sqrt(jnp.min(jnp.where(valid, r2, jnp.inf), -1))
 
     t_pad = -(-t // 128) * 128
     tile_c = jnp.full((8, t_pad), jnp.float32(1e15))
@@ -313,7 +317,9 @@ def listed_tables(centroids: jnp.ndarray, tile_table: jnp.ndarray):
     )
     tile_r = jnp.zeros((8, t_pad), jnp.float32)
     tile_r = jax.lax.dynamic_update_slice(
-        tile_r, radius[None].astype(jnp.float32), (0, 0)
+        tile_r,
+        jnp.stack([radius, rmin]).astype(jnp.float32),
+        (0, 0),
     )
     perm_pad = jnp.where(valid, safe, 0).reshape(t * bf).astype(jnp.int32)
     return cent_t, tile_c, tile_r, perm_pad, t
@@ -388,7 +394,8 @@ def _listed_search_sorted(
     # large u_p admit a few extra tiles, but surface points (the majority)
     # prune to the handful of leaves they actually touch.
     tc = tile_c[:3].T                                           # (T, 3)
-    r_t = tile_r[0][None]                                       # (1, T)
+    r_t = tile_r[0][None]                                       # (1, T)  rmax
+    rmin_t = tile_r[1][None]                                    # (1, T)
     d_pt = jnp.sqrt(jnp.maximum(
         jnp.sum(pts_sorted * pts_sorted, -1, keepdims=True)
         - 2.0 * jnp.matmul(pts_sorted, tc.T,
@@ -396,7 +403,10 @@ def _listed_search_sorted(
         + jnp.sum(tc * tc, -1)[None],
         0.0,
     ))                                                          # (N, T)
-    u_p = jnp.min(d_pt + r_t, axis=1, keepdims=True)            # (N, 1)
+    # upper bound from the tile's CLOSEST member: that member is within
+    # d(p,tc) + rmin_t of p, so this u_p is ~a leaf-spacing above the true
+    # nearest-centroid distance (vs ~the leaf radius when built from rmax)
+    u_p = jnp.min(d_pt + rmin_t, axis=1, keepdims=True)         # (N, 1)
     pt_lb = d_pt - r_t                                          # (N, T)
     hit = (pt_lb <= u_p).reshape(b, block_p, t_pad)
     visit = jnp.any(hit, axis=1)                                # (B, T)

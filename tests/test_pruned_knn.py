@@ -307,6 +307,10 @@ def test_listed_tables_geometry(smpl_like, smpl_tiles):
             continue
         d = np.linalg.norm(cents[members] - tile_c[:3, t], axis=-1)
         assert (d <= tile_r[0, t] + 1e-4).all()
+        # row 1 = closest-member radius (drives the tight upper bound):
+        # some member must sit at exactly that distance from the center
+        assert abs(d.min() - tile_r[1, t]) <= 1e-4
+        assert tile_r[1, t] <= tile_r[0, t] + 1e-6
 
 
 def test_listed_inside_renderer(smpl_like, rng_np):
