@@ -12,6 +12,7 @@ Usage: python scripts/sweep_knn.py [--iters 30]
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -37,6 +38,11 @@ def timeit(fn, *args, iters=30, warmup=3):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument(
+        "--listed", action="store_true",
+        help="sweep the v3 list-driven search over (block_sc, block_p) "
+        "instead of the v2 unrolled kernel",
+    )
     args = ap.parse_args()
 
     import jax
@@ -63,8 +69,8 @@ if __name__ == "__main__":
     )
     rays = batch.rays
 
-    @jax.jit
-    def make_pts():
+    @functools.partial(jax.jit, static_argnames=("sc",))
+    def make_pts(sc=8):
         near, far = gg_near_far_pallas(
             rays.ray_o, rays.ray_d, rays.near, rays.far, geom.verts_world,
             gamma=0.05,
@@ -72,7 +78,6 @@ if __name__ == "__main__":
         z = stratified_z(near, far, S, jax.random.key(0))
         pts = sample_along_rays(rays.ray_o, rays.ray_d, z)  # (R, S, 3)
         # the renderer's block layout: (sample-chunk, ray, sample-within)
-        sc = 8
         y = pts.reshape(NRAYS, S // sc, sc, 3)
         y = jnp.swapaxes(y, 0, 1)
         return y.reshape(NRAYS * S, 3)
@@ -80,6 +85,29 @@ if __name__ == "__main__":
     pts = jax.block_until_ready(make_pts())
     np.asarray(pts)
     cents_w = face_centroids(geom.verts_world, geom.faces)
+
+    if args.listed:
+        from dual_space_nerf_tpu.ops.pruned_knn import pruned_search_listed
+
+        base = None
+        for sc in (8, 16, 32):
+            pts_sc = jax.block_until_ready(make_pts(sc=sc))
+            for bp in (512, 1024, 2048, 4096):
+                fn = jax.jit(
+                    lambda p, bp=bp: pruned_search_listed(
+                        p, cents_w, geom.tile_table, block_p=bp
+                    )
+                )
+                ms = timeit(fn, pts_sc, iters=args.iters)
+                got = fn(pts_sc)
+                if base is None:
+                    base = got  # same sc only; cross-sc orders differ
+                note = ""
+                if sc == 8 and base is not None:
+                    mism = int(jnp.sum(got != base))
+                    note = f"  mism={mism}" if mism else ""
+                print(f"sc={sc:3d} block_p={bp:5d}: {ms:7.2f} ms{note}")
+        sys.exit(0)
 
     variants = [
         (128, 1024, 1),   # production default
