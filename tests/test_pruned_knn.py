@@ -290,8 +290,9 @@ def test_listed_tiny_mesh(rng_np):
 
 
 def test_listed_tables_geometry(smpl_like, smpl_tiles):
-    """Tile spheres contain their member centroids; every face appears in
-    exactly one tile; padded slots never map to a real face id twice."""
+    """Tile AABBs contain their member centroids; the witness radius is the
+    closest member's distance from the AABB midpoint; every face appears in
+    exactly one tile."""
     scene, cents, _ = smpl_like
     table = np.asarray(smpl_tiles)
     ids = table[table >= 0]
@@ -300,17 +301,17 @@ def test_listed_tables_geometry(smpl_like, smpl_tiles):
         jnp.asarray(cents), smpl_tiles
     )
     tile_c, tile_r = np.asarray(tile_c), np.asarray(tile_r)
-    bf = table.shape[1]
     for t in range(n_tiles):
         members = table[t][table[t] >= 0]
         if len(members) == 0:
             continue
-        d = np.linalg.norm(cents[members] - tile_c[:3, t], axis=-1)
-        assert (d <= tile_r[0, t] + 1e-4).all()
-        # row 1 = closest-member radius (drives the tight upper bound):
-        # some member must sit at exactly that distance from the center
-        assert abs(d.min() - tile_r[1, t]) <= 1e-4
-        assert tile_r[1, t] <= tile_r[0, t] + 1e-6
+        lo, hi = tile_c[:3, t], tile_c[3:6, t]
+        cm = cents[members]
+        assert (cm >= lo - 1e-5).all() and (cm <= hi + 1e-5).all()
+        # row 0 = distance from the AABB midpoint to the CLOSEST member
+        # (the witness behind the plan's upper bound)
+        d = np.linalg.norm(cm - 0.5 * (lo + hi), axis=-1)
+        assert abs(d.min() - tile_r[0, t]) <= 1e-4
 
 
 def test_listed_inside_renderer(smpl_like, rng_np):
