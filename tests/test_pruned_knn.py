@@ -364,3 +364,36 @@ def test_listed_inside_renderer(smpl_like, rng_np):
     np.testing.assert_allclose(
         np.asarray(out_l["acc_map"]), np.asarray(out_x["acc_map"]), atol=1e-5
     )
+
+
+def test_listed_search_under_shard_map(smpl_like, smpl_tiles, rng_np):
+    """The listed search partitioned over the ray mesh: each device plans
+    and searches its own ray shard against replicated centroids + tile
+    table. Sharded == unsharded on the 8-virtual-device mesh."""
+    import functools
+
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    scene, cents, _ = smpl_like
+    base = scene.verts_world[rng_np.integers(0, len(scene.verts_world), 256)]
+    pts = (base + 0.05 * rng_np.standard_normal((256, 3))).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("rays",))
+    search = functools.partial(
+        pruned_search_listed, centroids=jnp.asarray(cents),
+        tile_table=smpl_tiles, interpret=True, block_p=32,
+    )
+    sharded = jax.jit(
+        shard_map(
+            search, mesh=mesh, in_specs=P("rays"), out_specs=P("rays"),
+            check_rep=False,
+        )
+    )
+    got = np.asarray(sharded(jnp.asarray(pts)))
+    want = np.asarray(search(jnp.asarray(pts)))
+    np.testing.assert_allclose(
+        brute_dist(pts, cents, got), brute_dist(pts, cents, want), atol=1e-6
+    )
+    assert_matches_brute(pts, cents, got)
