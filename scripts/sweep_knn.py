@@ -87,26 +87,32 @@ if __name__ == "__main__":
     cents_w = face_centroids(geom.verts_world, geom.faces)
 
     if args.listed:
-        from dual_space_nerf_tpu.ops.pruned_knn import pruned_search_listed
+        from dual_space_nerf_tpu.ops.pruned_knn import (
+            build_face_tiles,
+            pruned_search_listed,
+        )
 
-        base = None
-        for sc in (8, 16, 32):
+        tile_tables = {
+            bf: build_face_tiles(cents_w, block_f=bf) for bf in (64, 128)
+        }
+        for sc in (16, 32):
             pts_sc = jax.block_until_ready(make_pts(sc=sc))
-            for bp in (512, 1024, 2048, 4096):
-                fn = jax.jit(
-                    lambda p, bp=bp: pruned_search_listed(
-                        p, cents_w, geom.tile_table, block_p=bp
+            base = None
+            for bf in (128, 64):
+                for bp in (1024, 2048, 4096):
+                    fn = jax.jit(
+                        lambda p, bp=bp, bf=bf: pruned_search_listed(
+                            p, cents_w, tile_tables[bf], block_p=bp
+                        )
                     )
-                )
-                ms = timeit(fn, pts_sc, iters=args.iters)
-                got = fn(pts_sc)
-                if base is None:
-                    base = got  # same sc only; cross-sc orders differ
-                note = ""
-                if sc == 8 and base is not None:
+                    ms = timeit(fn, pts_sc, iters=args.iters)
+                    got = fn(pts_sc)
+                    if base is None:
+                        base = got
                     mism = int(jnp.sum(got != base))
                     note = f"  mism={mism}" if mism else ""
-                print(f"sc={sc:3d} block_p={bp:5d}: {ms:7.2f} ms{note}")
+                    print(f"sc={sc:3d} bf={bf:4d} block_p={bp:5d}: "
+                          f"{ms:7.2f} ms{note}")
         sys.exit(0)
 
     variants = [
