@@ -340,7 +340,8 @@ def _listed_kernel(
 ):
     """pts (P,3) VMEM; cent (3,F_pad) VMEM; list/cnt/lbs (1,T)/(1,1)/(1,T)
     SMEM per-block visit plan (tile ids sorted by lower bound, visit count,
-    sorted lower bounds); idx out (P,1); best/btile (P,BF) VMEM scratch."""
+    sorted SQUARED lower bounds); idx out (P,1); best/btile (P,BF) VMEM
+    scratch; thresh (1,) SMEM squared-distance threshold."""
     pts = pts_ref[:]
     px, py, pz = pts[:, 0:1], pts[:, 1:2], pts[:, 2:3]
 
@@ -354,12 +355,14 @@ def _listed_kernel(
         dz = pz - cz
         return dx * dx + dy * dy + dz * dz
 
-    # seed: the closest tile (list entry 0)
+    # seed: the closest tile (list entry 0). Everything — lbs, threshold —
+    # stays in SQUARED distance space (monotonic, so skips are identical
+    # and both the plan and the per-visit update save a sqrt).
     t0 = list_ref[0, 0]
     d2 = tile_d2(t0)
     best_ref[:] = d2
     btile_ref[:] = jnp.full(d2.shape, t0, jnp.int32)
-    thresh_ref[0] = jnp.sqrt(jnp.max(jnp.min(d2, axis=-1)))
+    thresh_ref[0] = jnp.max(jnp.min(d2, axis=-1))
 
     def body(i, carry):
         @pl.when(lbs_ref[0, i] <= thresh_ref[0])
@@ -369,9 +372,7 @@ def _listed_kernel(
             m = d2t < best_ref[:]
             best_ref[:] = jnp.where(m, d2t, best_ref[:])
             btile_ref[:] = jnp.where(m, t, btile_ref[:])
-            thresh_ref[0] = jnp.sqrt(
-                jnp.max(jnp.min(best_ref[:], axis=-1))
-            )
+            thresh_ref[0] = jnp.max(jnp.min(best_ref[:], axis=-1))
         return carry
 
     jax.lax.fori_loop(1, cnt_ref[0, 0], body, 0)
@@ -414,20 +415,21 @@ def _listed_search_sorted(
         0.0,
     ))                                                          # (N, T)
     u_p = jnp.min(d_pt + rmin_t, axis=1, keepdims=True)         # (N, 1)
-    # dist(p, AABB_t): summed per dimension to keep the working set (N, T)
+    # dist^2(p, AABB_t): summed per dimension to keep the working set
+    # (N, T). Lower bounds stay SQUARED throughout — the kernel compares
+    # them against a squared threshold, so no sqrt pass over (N, T).
     lb2 = jnp.zeros_like(d_pt)
     for dim in range(3):
         x = pts_sorted[:, dim:dim + 1]                          # (N, 1)
         ex = (jnp.maximum(lo_t[None, :, dim] - x, 0.0)
               + jnp.maximum(x - hi_t[None, :, dim], 0.0))       # (N, T)
         lb2 = lb2 + ex * ex
-    pt_lb = jnp.sqrt(lb2)                                       # (N, T)
-    hit = (pt_lb <= u_p).reshape(b, block_p, t_pad)
+    hit = (lb2 <= u_p * u_p).reshape(b, block_p, t_pad)
     visit = jnp.any(hit, axis=1)                                # (B, T)
-    # block-min per-point lower bound: sort key AND a valid in-kernel skip
-    # value (if min_p lb[t] > thresh >= every point's current best, no
-    # point can improve in tile t)
-    lbs = jnp.min(pt_lb.reshape(b, block_p, t_pad), axis=1)     # (B, T)
+    # block-min per-point SQUARED lower bound: sort key AND a valid
+    # in-kernel skip value (if min_p lb2[t] > thresh2 >= every point's
+    # current best d2, no point can improve in tile t)
+    lbs = jnp.min(lb2.reshape(b, block_p, t_pad), axis=1)       # (B, T)
     valid = jax.lax.broadcasted_iota(jnp.int32, lbs.shape, 1) < n_tiles
     lbs = jnp.where(valid, lbs, jnp.inf)
     visit = jnp.logical_and(visit, valid)
