@@ -378,3 +378,35 @@ def test_reuse_warp_faces_close_to_exact(scene, mesh, model_params):
         # for the normal transport; on this scene that is a tiny minority
         close = np.isclose(c_exact, c_fast, atol=1e-3).all(axis=-1)
         assert close.mean() >= 0.9, close.mean()
+
+
+def test_fine_and_gated_with_listed_knn(scene, model_params):
+    """FINE_RAY_SAMPLING + SHADE_TOPK + knn_impl='listed' compose: the
+    second _render_with_z call re-plans the listed search at the larger
+    (S + n_fine) sample count, and the result matches the xla dispatch."""
+    from dual_space_nerf_tpu.data.batching import item_to_mesh
+
+    model, params = model_params
+    mesh_t = item_to_mesh(
+        {"xyz": scene.verts_world}, np.asarray(scene.faces), scene.verts_cano
+    )
+    assert mesh_t.tile_table is not None
+    batch = _ray_batch(scene)
+    base = dict(
+        n_samples=S, sample_mode="GG", mlp_chunk=64, remat=False,
+        n_fine=8, shade_topk=4, perturb=0.0, raw_noise_std=0.0,
+    )
+    out_l = render_rays(
+        params, model, batch, mesh_t,
+        RenderSettings(knn_impl="listed", **base),
+        LightState.identity(), rng=None, train=False,
+    )
+    out_x = render_rays(
+        params, model, batch, mesh_t,
+        RenderSettings(knn_impl="xla", **base),
+        LightState.identity(), rng=None, train=False,
+    )
+    for k in ("color", "fine_color", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(out_l[k]), np.asarray(out_x[k]), atol=1e-5, err_msg=k
+        )
