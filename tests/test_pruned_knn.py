@@ -191,7 +191,7 @@ def test_pruned_search_under_shard_map(smpl_like, rng_np):
 
     import jax
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     scene, cents, perm = smpl_like
     base = scene.verts_world[rng_np.integers(0, len(scene.verts_world), 256)]
@@ -207,10 +207,10 @@ def test_pruned_search_under_shard_map(smpl_like, rng_np):
     sharded = jax.jit(
         shard_map(
             search, mesh=mesh, in_specs=P("rays"), out_specs=P("rays"),
-            # pallas_call's ShapeDtypeStruct carries no varying-mesh-axes
+            # pallas_call result carries no varying-mesh-axes
             # annotation; skip the replication check (the per-shard computation
             # is independent by construction)
-            check_rep=False,
+            check_vma=False,
         )
     )
     got = np.asarray(sharded(jnp.asarray(pts)))
@@ -374,7 +374,7 @@ def test_listed_search_under_shard_map(smpl_like, smpl_tiles, rng_np):
 
     import jax
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     scene, cents, _ = smpl_like
     base = scene.verts_world[rng_np.integers(0, len(scene.verts_world), 256)]
@@ -388,7 +388,7 @@ def test_listed_search_under_shard_map(smpl_like, smpl_tiles, rng_np):
     sharded = jax.jit(
         shard_map(
             search, mesh=mesh, in_specs=P("rays"), out_specs=P("rays"),
-            check_rep=False,
+            check_vma=False,
         )
     )
     got = np.asarray(sharded(jnp.asarray(pts)))
