@@ -255,21 +255,30 @@ def pruned_search_presorted(
 # - Tiles ARE kd leaves: `build_face_clusters(n_clusters=T)` with T a power
 #   of two sized so each leaf fits one BF-wide column range (padded slots
 #   sit at 1e15 and never win).
-# - The visit PLAN is per-point, block-aggregated, built by plain XLA: one
-#   MXU pass gives every point's distance to every tile's AABB midpoint;
-#   per point, u_p = min_t(d(p,mid_t) + rmin_t) bounds its nearest-centroid
-#   distance (rmin_t = distance from the midpoint to the tile's CLOSEST
-#   member — a witness centroid, so this is ~a leaf-spacing above truth),
-#   and tile t is listed for a block iff ANY of its points has
+# - The visit PLAN is per-point, sub-block-aggregated, built by plain XLA:
+#   one MXU pass gives every point's distance to every tile's WITNESS
+#   centroid (the member closest to the AABB midpoint); per point,
+#   u_p = min_t d(p, w_t) is an EXACT upper bound on the nearest-centroid
+#   distance (the witness is itself a centroid — strictly tighter than the
+#   midpoint+radius bound by the triangle inequality), and tile t is
+#   listed for a sub-block iff ANY of its points has
 #   dist(p, aabb_t) <= u_p (kd leaves are boxy, so the AABB lower bound is
 #   far tighter than any bounding sphere; measured 53 -> 31 visited tiles
-#   per 2048-pt block on the bench workload vs sphere bounds).
-#   Lists are sorted by the block-min lower bound; the kernel walks them
-#   from SMEM with a dynamic-trip fori_loop and tightens the true
-#   per-block threshold after every visit, so overshoot entries die on one
-#   scalar compare.
+#   per 2048-pt block on the bench workload vs sphere bounds, and 28 -> 14
+#   per 256-pt sub-block with witness bounds).
+#   Lists are sorted by the sub-block-min lower bound; the kernel walks
+#   them from SMEM with a dynamic-trip fori_loop and tightens the true
+#   per-sub-block threshold after every visit, so overshoot entries die on
+#   one scalar compare. TWO-LEVEL: the Pallas grid block stays 2048 points
+#   (one prologue/decode), but each 256-pt sub-block has its own plan row
+#   in the 8-row SMEM slab and its own threshold — sub-block bounds halve
+#   the d2-evaluation work vs whole-block plans
+#   (scripts/knn_plan_stats.py).
 _BLOCK_F_LISTED = 128
 _BLOCK_P_LISTED = 2048
+# plan/threshold granularity INSIDE a grid block (two-level): the 8-row
+# SMEM plan slab carries one visit list per plan_p-point sub-block
+_PLAN_P_LISTED = 256
 
 
 def build_face_tiles(centroids, block_f: int = _BLOCK_F_LISTED):
@@ -297,8 +306,10 @@ def listed_tables(centroids: jnp.ndarray, tile_table: jnp.ndarray):
     (cent_t (3, T*BF) padded at 1e15,
      tile_c (8, T_pad) — rows 0:3 = member AABB lo, rows 3:6 = AABB hi
      (padded tiles sit at lo=hi=1e15),
-     tile_r (8, T_pad) — row 0 = distance from the AABB midpoint to the
-     tile's CLOSEST member (the witness for the upper bound),
+     tile_r (8, T_pad) — rows 0:3 = the WITNESS centroid: the member
+     closest to the AABB midpoint. d(p, witness) is an exact upper bound
+     on p's nearest-centroid distance, strictly tighter than the midpoint
+     + closest-member-radius bound it replaces (triangle inequality),
      perm_pad (T*BF,) local-slot -> face id, n_tiles).
     These feed only the XLA visit plan; the kernel reads cent_t alone."""
     t, bf = tile_table.shape
@@ -316,8 +327,10 @@ def listed_tables(centroids: jnp.ndarray, tile_table: jnp.ndarray):
     r2 = jnp.sum(
         (jnp.where(valid[..., None], cents, 0.0) - mid[:, None]) ** 2, -1
     )
-    rmin = jnp.sqrt(jnp.min(jnp.where(valid, r2, jnp.inf), -1))
-    rmin = jnp.where(jnp.isfinite(rmin), rmin, 0.0)
+    w_idx = jnp.argmin(jnp.where(valid, r2, jnp.inf), -1)       # (T,)
+    witness = jnp.take_along_axis(
+        cents, w_idx[:, None, None], axis=1
+    )[:, 0]                                                     # (T, 3)
 
     t_pad = -(-t // 128) * 128
     tile_c = jnp.full((8, t_pad), big)
@@ -326,9 +339,9 @@ def listed_tables(centroids: jnp.ndarray, tile_table: jnp.ndarray):
         jnp.concatenate([lo.T, hi.T], axis=0).astype(jnp.float32),
         (0, 0),
     )
-    tile_r = jnp.zeros((8, t_pad), jnp.float32)
+    tile_r = jnp.full((8, t_pad), big)
     tile_r = jax.lax.dynamic_update_slice(
-        tile_r, rmin[None].astype(jnp.float32), (0, 0)
+        tile_r, witness.T.astype(jnp.float32), (0, 0)
     )
     perm_pad = jnp.where(valid, safe, 0).reshape(t * bf).astype(jnp.int32)
     return cent_t, tile_c, tile_r, perm_pad, t
@@ -336,16 +349,21 @@ def listed_tables(centroids: jnp.ndarray, tile_table: jnp.ndarray):
 
 def _listed_kernel(
     pts_ref, cent_ref, list_ref, cnt_ref, lbs_ref, idx_ref,
-    best_ref, btile_ref, thresh_ref, *, block_f,
+    best_ref, btile_ref, thresh_ref, *, block_f, n_sub, plan_p,
 ):
-    """pts (P,3) VMEM; cent (3,F_pad) VMEM; list/cnt/lbs (1,T)/(1,1)/(1,T)
-    SMEM per-block visit plan (tile ids sorted by lower bound, visit count,
-    sorted SQUARED lower bounds); idx out (P,1); best/btile (P,BF) VMEM
-    scratch; thresh (1,) SMEM squared-distance threshold."""
-    pts = pts_ref[:]
-    px, py, pz = pts[:, 0:1], pts[:, 1:2], pts[:, 2:3]
+    """pts (P,3) VMEM; cent (3,F_pad) VMEM; list/cnt/lbs (8,T) SMEM visit
+    plans — row s is the plan for the s-th PLAN SUB-BLOCK of plan_p points
+    (tile ids sorted by lower bound, visit count, sorted SQUARED lower
+    bounds); idx out (P,1); best/btile (P,BF) VMEM scratch; thresh (1,)
+    SMEM squared-distance threshold, reused per sub-block.
 
-    def tile_d2(t):
+    Two-level structure: the grid block stays P points (one Pallas
+    prologue, one decode), but each plan_p-point sub-block walks its OWN
+    visit list under its OWN threshold — sub-block bounds are ~2x tighter
+    than whole-block bounds on the production workload
+    (scripts/knn_plan_stats.py), halving the d2-evaluation work."""
+
+    def tile_d2(t, px, py, pz):
         start = t * block_f
         cx = cent_ref[0:1, pl.ds(start, block_f)]
         cy = cent_ref[1:2, pl.ds(start, block_f)]
@@ -355,28 +373,35 @@ def _listed_kernel(
         dz = pz - cz
         return dx * dx + dy * dy + dz * dz
 
-    # seed: the closest tile (list entry 0). Everything — lbs, threshold —
-    # stays in SQUARED distance space (monotonic, so skips are identical
-    # and both the plan and the per-visit update save a sqrt).
-    t0 = list_ref[0, 0]
-    d2 = tile_d2(t0)
-    best_ref[:] = d2
-    btile_ref[:] = jnp.full(d2.shape, t0, jnp.int32)
-    thresh_ref[0] = jnp.max(jnp.min(d2, axis=-1))
+    for s in range(n_sub):             # static unroll over sub-blocks
+        pts = pts_ref[s * plan_p:(s + 1) * plan_p, :]
+        px, py, pz = pts[:, 0:1], pts[:, 1:2], pts[:, 2:3]
+        rows = slice(s * plan_p, (s + 1) * plan_p)
 
-    def body(i, carry):
-        @pl.when(lbs_ref[0, i] <= thresh_ref[0])
-        def _visit():
-            t = list_ref[0, i]
-            d2t = tile_d2(t)
-            m = d2t < best_ref[:]
-            best_ref[:] = jnp.where(m, d2t, best_ref[:])
-            btile_ref[:] = jnp.where(m, t, btile_ref[:])
-            thresh_ref[0] = jnp.max(jnp.min(best_ref[:], axis=-1))
-        return carry
+        # seed: the closest tile (list entry 0). Everything — lbs,
+        # threshold — stays in SQUARED distance space (monotonic, so skips
+        # are identical and plan + per-visit updates save a sqrt).
+        t0 = list_ref[s, 0]
+        d2 = tile_d2(t0, px, py, pz)
+        best_ref[rows, :] = d2
+        btile_ref[rows, :] = jnp.full(d2.shape, t0, jnp.int32)
+        thresh_ref[0] = jnp.max(jnp.min(d2, axis=-1))
 
-    jax.lax.fori_loop(1, cnt_ref[0, 0], body, 0)
+        def body(i, carry, s=s, px=px, py=py, pz=pz, rows=rows):
+            @pl.when(lbs_ref[s, i] <= thresh_ref[0])
+            def _visit():
+                t = list_ref[s, i]
+                d2t = tile_d2(t, px, py, pz)
+                m = d2t < best_ref[rows, :]
+                best_ref[rows, :] = jnp.where(m, d2t, best_ref[rows, :])
+                btile_ref[rows, :] = jnp.where(m, t, btile_ref[rows, :])
+                thresh_ref[0] = jnp.max(jnp.min(best_ref[rows, :], axis=-1))
+            return carry
 
+        jax.lax.fori_loop(1, cnt_ref[s, 0], body, 0)
+
+    # one whole-block decode: per-point min distance, then the smallest
+    # global id achieving it (btile rows are already per-sub-block)
     best = best_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, best.shape, 1)
     pmin = jnp.min(best, axis=-1, keepdims=True)
@@ -386,74 +411,94 @@ def _listed_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "interpret", "block_p", "block_f")
+    jax.jit,
+    static_argnames=("n_tiles", "interpret", "block_p", "block_f", "plan_p"),
 )
 def _listed_search_sorted(
     pts_sorted, cent_t, tile_c, tile_r, n_tiles, interpret=False,
     block_p=_BLOCK_P_LISTED, block_f=_BLOCK_F_LISTED,
+    plan_p=_PLAN_P_LISTED,
 ):
     n_pad = pts_sorted.shape[0]
     b = n_pad // block_p
     t_pad = tile_c.shape[1]
+    # at most 8 sub-plans fit the 8-row SMEM slab; clamp plan_p into range
+    plan_p = min(max(plan_p, block_p // 8), block_p)
+    n_sub = block_p // plan_p
+    assert block_p % plan_p == 0, (block_p, plan_p)
 
     # ---- per-point visit plan, block-aggregated (plain XLA) ----
-    # One MXU pass gives d(p, mid_t) for every point x tile AABB midpoint;
-    # per point, u_p = min_t(d + rmin_t) bounds the nearest-centroid
-    # distance (rmin_t's closest member is a witness within that radius).
+    # One MXU pass gives d(p, w_t) for every point x tile WITNESS centroid
+    # (the member closest to the AABB midpoint); per point,
+    # u_p = min_t d(p, w_t) is an exact upper bound on the nearest-centroid
+    # distance (the witness IS a centroid) — strictly tighter than the
+    # d(p, mid_t) + rmin_t bound by the triangle inequality, same cost.
     # Tile t must be visited for a block iff ANY member point has
     # dist(p, aabb_t) <= u_p — the AABB lower bound is exact for the boxy
     # kd leaves where a bounding sphere overshoots by ~the leaf radius.
     lo_t = tile_c[:3].T                                         # (T, 3)
     hi_t = tile_c[3:6].T                                        # (T, 3)
-    mid = 0.5 * (lo_t + hi_t)
-    rmin_t = tile_r[0][None]                                    # (1, T)
-    d_pt = jnp.sqrt(jnp.maximum(
+    wit = tile_r[:3].T                                          # (T, 3)
+    d_pw2 = jnp.maximum(
         jnp.sum(pts_sorted * pts_sorted, -1, keepdims=True)
-        - 2.0 * jnp.matmul(pts_sorted, mid.T,
+        - 2.0 * jnp.matmul(pts_sorted, wit.T,
                            precision=jax.lax.Precision.HIGHEST)
-        + jnp.sum(mid * mid, -1)[None],
+        + jnp.sum(wit * wit, -1)[None],
         0.0,
-    ))                                                          # (N, T)
-    u_p = jnp.min(d_pt + rmin_t, axis=1, keepdims=True)         # (N, 1)
+    )                                                           # (N, T)
+    # tiny inflation: the expanded-form d_pw2 can round BELOW the true
+    # squared distance (cancellation), and lb2 can round above its true
+    # value; without the old +rmin cushion, pad the bound past f32 noise
+    # so the tile holding the true nearest is never planned away.
+    u_p = jnp.sqrt(jnp.min(d_pw2, axis=1, keepdims=True))       # (N, 1)
+    u_p = u_p * jnp.float32(1 + 1e-5) + jnp.float32(1e-6)
     # dist^2(p, AABB_t): summed per dimension to keep the working set
     # (N, T). Lower bounds stay SQUARED throughout — the kernel compares
     # them against a squared threshold, so no sqrt pass over (N, T).
-    lb2 = jnp.zeros_like(d_pt)
+    lb2 = jnp.zeros_like(d_pw2)
     for dim in range(3):
         x = pts_sorted[:, dim:dim + 1]                          # (N, 1)
         ex = (jnp.maximum(lo_t[None, :, dim] - x, 0.0)
               + jnp.maximum(x - hi_t[None, :, dim], 0.0))       # (N, T)
         lb2 = lb2 + ex * ex
-    hit = (lb2 <= u_p * u_p).reshape(b, block_p, t_pad)
-    visit = jnp.any(hit, axis=1)                                # (B, T)
-    # block-min per-point SQUARED lower bound: sort key AND a valid
-    # in-kernel skip value (if min_p lb2[t] > thresh2 >= every point's
-    # current best d2, no point can improve in tile t)
-    lbs = jnp.min(lb2.reshape(b, block_p, t_pad), axis=1)       # (B, T)
-    valid = jax.lax.broadcasted_iota(jnp.int32, lbs.shape, 1) < n_tiles
+    # plan PER SUB-BLOCK: row s of a grid block's 8-row SMEM slab carries
+    # the visit list for points [s*plan_p, (s+1)*plan_p) — sub-block
+    # aggregation tightens both the any() visit test and the min() sort
+    # key vs whole-block plans (~2x fewer d2 evaluations measured,
+    # scripts/knn_plan_stats.py)
+    hit = (lb2 <= u_p * u_p).reshape(b, n_sub, plan_p, t_pad)
+    visit = jnp.any(hit, axis=2)                                # (B, S, T)
+    lbs = jnp.min(lb2.reshape(b, n_sub, plan_p, t_pad), axis=2)
+    valid = jax.lax.broadcasted_iota(jnp.int32, lbs.shape, 2) < n_tiles
     lbs = jnp.where(valid, lbs, jnp.inf)
     visit = jnp.logical_and(visit, valid)
     key = jnp.where(visit, lbs, jnp.inf)
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)          # (B, T)
-    lbs_sorted = jnp.take_along_axis(key, order, axis=1)
-    counts = visit.sum(axis=1, dtype=jnp.int32)                 # (B,)
+    order = jnp.argsort(key, axis=2).astype(jnp.int32)          # (B, S, T)
+    lbs_sorted = jnp.take_along_axis(key, order, axis=2)
+    counts = visit.sum(axis=2, dtype=jnp.int32)                 # (B, S)
 
-    # Mosaic requires SMEM blocks to obey the (8, 128) tiling rule, so each
-    # block's plan occupies an 8-row slab (rows 8i..8i+7; only row 8i read)
+    # Mosaic requires SMEM blocks to obey the (8, 128) tiling rule: each
+    # grid block's plan is an 8-row slab, rows 0..n_sub-1 = sub-plans
+    # (unused rows are never read by the kernel's static loop)
     def slab(x, fill):
-        pad = jnp.full((b, 7, x.shape[-1]), fill, x.dtype)
-        return jnp.concatenate([x[:, None, :], pad], axis=1).reshape(
+        pad = jnp.full((b, 8 - n_sub, x.shape[-1]), fill, x.dtype)
+        return jnp.concatenate([x, pad], axis=1).reshape(
             b * 8, x.shape[-1]
         )
 
     order_s = slab(order, 0)
     lbs_s = slab(lbs_sorted.astype(jnp.float32), jnp.float32(jnp.inf))
     cnt_s = slab(
-        jnp.broadcast_to(counts[:, None], (b, t_pad)).astype(jnp.int32), 1
+        jnp.broadcast_to(counts[..., None], (b, n_sub, t_pad)).astype(
+            jnp.int32
+        ),
+        1,
     )
 
     idx = pl.pallas_call(
-        functools.partial(_listed_kernel, block_f=block_f),
+        functools.partial(
+            _listed_kernel, block_f=block_f, n_sub=n_sub, plan_p=plan_p
+        ),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((block_p, 3), lambda i: (i, 0),
@@ -486,12 +531,13 @@ def pruned_search_listed(
     tile_table: jnp.ndarray,
     interpret: bool = False,
     block_p: int = _BLOCK_P_LISTED,
+    plan_p: int = _PLAN_P_LISTED,
 ) -> jnp.ndarray:
     """List-driven exact nearest-face search for spatially-sorted points.
 
     Same contract as `pruned_search_presorted`, but candidate tiles are the
     kd leaves of `tile_table` (build_face_tiles) and visits are planned per
-    block outside the kernel (see module comment above)."""
+    plan_p-point sub-block outside the kernel (see module comment above)."""
     n = pts_sorted.shape[0]
     n_pad = -(-n // block_p) * block_p
     block_f = tile_table.shape[1]
@@ -504,7 +550,7 @@ def pruned_search_listed(
     )
     idx_local = _listed_search_sorted(
         pts_p, cent_t, tile_c, tile_r, n_tiles, interpret=interpret,
-        block_p=block_p, block_f=block_f,
+        block_p=block_p, block_f=block_f, plan_p=plan_p,
     )[:n]
     return perm_pad[idx_local]
 

@@ -100,19 +100,24 @@ if __name__ == "__main__":
             base = None
             for bf in (128, 64):
                 for bp in (1024, 2048, 4096):
-                    fn = jax.jit(
-                        lambda p, bp=bp, bf=bf: pruned_search_listed(
-                            p, cents_w, tile_tables[bf], block_p=bp
+                    for pp in (256, 512, bp):
+                        if pp > bp or bp // pp > 8:
+                            continue
+                        fn = jax.jit(
+                            lambda p, bp=bp, bf=bf, pp=pp:
+                            pruned_search_listed(
+                                p, cents_w, tile_tables[bf], block_p=bp,
+                                plan_p=pp,
+                            )
                         )
-                    )
-                    ms = timeit(fn, pts_sc, iters=args.iters)
-                    got = fn(pts_sc)
-                    if base is None:
-                        base = got
-                    mism = int(jnp.sum(got != base))
-                    note = f"  mism={mism}" if mism else ""
-                    print(f"sc={sc:3d} bf={bf:4d} block_p={bp:5d}: "
-                          f"{ms:7.2f} ms{note}")
+                        ms = timeit(fn, pts_sc, iters=args.iters)
+                        got = fn(pts_sc)
+                        if base is None:
+                            base = got
+                        mism = int(jnp.sum(got != base))
+                        note = f"  mism={mism}" if mism else ""
+                        print(f"sc={sc:3d} bf={bf:4d} block_p={bp:5d} "
+                              f"plan_p={pp:5d}: {ms:7.2f} ms{note}")
         sys.exit(0)
 
     variants = [

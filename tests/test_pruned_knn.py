@@ -266,6 +266,27 @@ def test_listed_uniform_box(smpl_like, smpl_tiles, rng_np):
     assert_matches_brute(pts_s, cents, got)
 
 
+def test_listed_two_level_sub_plans(smpl_like, smpl_tiles, rng_np):
+    """n_sub > 1: each plan_p sub-block of a grid block walks its own
+    SMEM plan row under its own threshold; result stays exact and equals
+    whole-block planning (plan granularity only changes work, not
+    output)."""
+    scene, cents, _ = smpl_like
+    base = scene.verts_world[rng_np.integers(0, len(scene.verts_world), 1100)]
+    pts = (base + 0.05 * rng_np.standard_normal((1100, 3))).astype(np.float32)
+    pts_s, _ = _morton_sorted(pts)
+    got = pruned_search_listed(
+        jnp.asarray(pts_s), jnp.asarray(cents), smpl_tiles,
+        interpret=True, block_p=512, plan_p=128,     # 4 sub-plans per block
+    )
+    assert_matches_brute(pts_s, cents, got)
+    whole = pruned_search_listed(
+        jnp.asarray(pts_s), jnp.asarray(cents), smpl_tiles,
+        interpret=True, block_p=512, plan_p=512,     # single plan per block
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(whole))
+
+
 @pytest.mark.parametrize("n", [1, 127, 300])
 def test_listed_ragged_counts(smpl_like, smpl_tiles, rng_np, n):
     scene, cents, _ = smpl_like
@@ -290,9 +311,9 @@ def test_listed_tiny_mesh(rng_np):
 
 
 def test_listed_tables_geometry(smpl_like, smpl_tiles):
-    """Tile AABBs contain their member centroids; the witness radius is the
-    closest member's distance from the AABB midpoint; every face appears in
-    exactly one tile."""
+    """Tile AABBs contain their member centroids; the witness (tile_r rows
+    0:3) is the MEMBER centroid closest to the AABB midpoint; every face
+    appears in exactly one tile."""
     scene, cents, _ = smpl_like
     table = np.asarray(smpl_tiles)
     ids = table[table >= 0]
@@ -308,10 +329,15 @@ def test_listed_tables_geometry(smpl_like, smpl_tiles):
         lo, hi = tile_c[:3, t], tile_c[3:6, t]
         cm = cents[members]
         assert (cm >= lo - 1e-5).all() and (cm <= hi + 1e-5).all()
-        # row 0 = distance from the AABB midpoint to the CLOSEST member
-        # (the witness behind the plan's upper bound)
-        d = np.linalg.norm(cm - 0.5 * (lo + hi), axis=-1)
-        assert abs(d.min() - tile_r[0, t]) <= 1e-4
+        # the witness is a real member, and it is the one nearest the
+        # AABB midpoint (the plan's exact upper-bound anchor)
+        wit = tile_r[:3, t]
+        d_wit = np.linalg.norm(cm - wit, axis=-1)
+        assert d_wit.min() <= 1e-5, "witness is not a member centroid"
+        d_mid = np.linalg.norm(cm - 0.5 * (lo + hi), axis=-1)
+        assert abs(
+            np.linalg.norm(wit - 0.5 * (lo + hi)) - d_mid.min()
+        ) <= 1e-4
 
 
 def test_listed_inside_renderer(smpl_like, rng_np):
