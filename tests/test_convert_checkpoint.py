@@ -128,6 +128,34 @@ def test_file_round_trip_through_eval_loader(model_params, tmp_path):
     np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
 
 
+def test_export_round_trip(model_params, tmp_path):
+    """ckpt -> export_reference_checkpoint -> convert back == original,
+    and the exported payload matches the reference's saved shape
+    (torch.load(...)[\"model\"] / training_status, utils/checkpoint.py:113)."""
+    from dual_space_nerf_tpu.training import (
+        create_train_state, make_optimizer,
+    )
+    from dual_space_nerf_tpu.config import get_cfg_defaults
+    from tool.export_reference_checkpoint import export_file
+
+    model, params = model_params
+    cfg = get_cfg_defaults()
+    tx, _ = make_optimizer(cfg)
+    state = create_train_state(model, tx, jax.random.key(9))
+    state = state._replace(params=params)
+    ck = Checkpointer(str(tmp_path))
+    ckpt_path = ck.save("model_epoch_0000042", state, 42)
+
+    pth_path = tmp_path / "exported.pth"
+    export_file(ckpt_path, str(pth_path))
+    payload = torch.load(pth_path, map_location="cpu", weights_only=True)
+    assert payload["training_status"]["epoch"] == 42
+    assert "nerf.stage1.0.weight" in payload["model"]
+
+    back = convert_state_dict(payload["model"])
+    _assert_tree_equal(back, jax.device_get(params))
+
+
 def test_bare_state_dict_payload(model_params, tmp_path):
     """Some tools re-save just the state_dict; converter accepts that too."""
     _, params = model_params
