@@ -50,6 +50,14 @@ _C.MODEL.SHADE_TOPK = 0
 # re-searches, spacenet.py:278-298; the results agree for ~all near-surface
 # samples). Approximation; off by default.
 _C.MODEL.REUSE_WARP_FACES = False
+# Fused SpaceNet Pallas kernels (ops/fused_mlp.py): the whole density/
+# essence/normal matmul chain (forward + hand-derived second-order backward)
+# runs with weights + one activation block resident in VMEM. Exact vs the
+# jax.vjp path (f32 roundoff); requires the default architecture
+# (CODE_DIM=8, backbone 256, essence 3, PE L=10) — silently falls back to
+# the XLA path otherwise.
+_C.MODEL.FUSED_MLP = False
+_C.MODEL.FUSED_BLOCK = 512         # points per fused-kernel grid block
 
 # ----------------------------------------------------------------------------
 # Dataset

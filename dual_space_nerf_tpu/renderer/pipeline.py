@@ -45,6 +45,12 @@ from ..geometry import (
 from ..geometry.sampling import sample_pdf
 from ..ops import face_centroids, nearest_face
 from ..ops.clustered_knn import nearest_face_grouped
+from ..ops.fused_mlp import (
+    extract_nerf_weights,
+    fused_sigma,
+    fused_sigma_essence_normal,
+)
+from ..ops.posenc import posenc
 from ..ops.pruned_knn import pruned_search_listed, pruned_search_presorted
 
 
@@ -129,6 +135,14 @@ class RenderSettings:
     # every sample; enabling this skips one KNN per step. Approximation —
     # off by default; quality-gated like shade_topk (see README).
     reuse_warp_faces: bool = False
+    # Run the SpaceNet density/essence/normal chain as one fused Pallas
+    # kernel pair (ops/fused_mlp.py): forward + hand-derived second-order
+    # backward, weights + one activation block resident in VMEM. Exact
+    # (matches the jax.vjp formulation to f32 roundoff); requires the
+    # default architecture (code_dim 8, backbone 256, essence 3, PE L=10)
+    # and falls back to the XLA path otherwise.
+    fused_mlp: bool = False
+    fused_block: int = 512           # points per fused-kernel grid block
     # v5e's 16 GB fits the full second-order graph at SMPL scale; remat
     # costs ~5% step time and is only needed for much larger scenes
     remat: bool = False
@@ -159,6 +173,8 @@ class RenderSettings:
             knn_impl=cfg.MODEL.KNN_IMPL,
             remat=cfg.MODEL.REMAT,
             shade_topk=max(getattr(cfg.MODEL, "SHADE_TOPK", 0), 0),
+            fused_mlp=bool(getattr(cfg.MODEL, "FUSED_MLP", False)),
+            fused_block=int(getattr(cfg.MODEL, "FUSED_BLOCK", 512)),
         )
 
 
@@ -282,6 +298,17 @@ def _warp_chunk(pts_w, fidx, faces_wc, settings: RenderSettings):
 # ---------------------------------------------------------------------------
 # Per-point network evaluation (chunked, rematerialized)
 # ---------------------------------------------------------------------------
+def _use_fused(settings: RenderSettings, model, code) -> bool:
+    """The fused Pallas MLP serves exactly the default architecture."""
+    return (
+        settings.fused_mlp
+        and code.dtype != jnp.int32
+        and getattr(model, "code_dim", 0) == 8
+        and getattr(model, "backbone_dim", 0) == 256
+        and getattr(model, "essence_dim", 0) == 3
+    )
+
+
 def _point_network(
     params,
     model,
@@ -293,6 +320,7 @@ def _point_network(
     code_scale,     # ()
     tris_c2,        # (n, 3, 3) canonical tris nearest to pts_c (precomputed)
     tris_w2,        # (n, 3, 3) the same faces on the posed mesh
+    settings: RenderSettings,
 ):
     """color (n, 3), sigma (n,) for one chunk of points.
 
@@ -303,25 +331,42 @@ def _point_network(
     """
     is_code = code.dtype != jnp.int32
 
-    def sigma_essence(xc):
-        essence, density = model.apply(
-            params,
-            xc,
-            None if is_code else code,
-            pose_feat,
-            code_scale,
-            method="sigma_essence",
-            code=code if is_code else None,
+    if _use_fused(settings, model, code):
+        n = pts_c.shape[0]
+        weights = extract_nerf_weights(params["params"]["nerf"])
+        pe = posenc(pts_c.astype(jnp.float32), 10)
+        cp = jnp.concatenate(
+            [
+                jnp.broadcast_to(code * code_scale, (n, 8)),
+                pose_feat.astype(jnp.float32),
+            ],
+            axis=1,
         )
-        return essence, density
+        sigma, essence, normal_local = fused_sigma_essence_normal(
+            weights, pe, cp, block=settings.fused_block,
+            interpret=jax.default_backend() != "tpu",
+        )
+        density = sigma[:, None]
+    else:
+        def sigma_essence(xc):
+            essence, density = model.apply(
+                params,
+                xc,
+                None if is_code else code,
+                pose_feat,
+                code_scale,
+                method="sigma_essence",
+                code=code if is_code else None,
+            )
+            return essence, density
 
-    (essence, density), pullback = jax.vjp(sigma_essence, pts_c)
-    # d(sum sigma)/d(xyz_cano): cotangent 1 on density, 0 on essence —
-    # one batched backward pass == torch grad with grad_outputs=ones
-    # (reference `spacenet.py:301-311`).
-    normal_local = pullback(
-        (jnp.zeros_like(essence), jnp.ones_like(density))
-    )[0]
+        (essence, density), pullback = jax.vjp(sigma_essence, pts_c)
+        # d(sum sigma)/d(xyz_cano): cotangent 1 on density, 0 on essence —
+        # one batched backward pass == torch grad with grad_outputs=ones
+        # (reference `spacenet.py:301-311`).
+        normal_local = pullback(
+            (jnp.zeros_like(essence), jnp.ones_like(density))
+        )[0]
 
     # canonical -> world normal transport on the precomputed face pairing
     uv, h = project_point2mesh(pts_c, tris_c2)
@@ -614,7 +659,7 @@ def _render_with_z(
         pf = jnp.broadcast_to(pose_feat, (pw.shape[0], pose_feat.shape[-1]))
         color, sigma = _point_network(
             params, model, pw_light, pc, dw, code, pf, light.code_scale,
-            tc2, tw2,
+            tc2, tw2, settings,
         )
         sigma = jnp.where(tmask, 0.0, sigma)
         return color, sigma
@@ -698,16 +743,34 @@ def _gated_shading(
     def dens_chunk(chunk_args):
         pw, fi = chunk_args
         pc, tmask, _, _ = _warp_chunk(pw, fi, faces_wc, settings)
-        _, density = model.apply(
-            params,
-            pc,
-            None if is_code else code[: pc.shape[0]],
-            jnp.broadcast_to(pose_feat, (pc.shape[0], pose_feat.shape[-1])),
-            light.code_scale,
-            True,
-            method="sigma_essence",
-            code=code if is_code else None,
-        )
+        if _use_fused(settings, model, code):
+            m = pc.shape[0]
+            weights = extract_nerf_weights(params["params"]["nerf"])
+            pe = posenc(pc.astype(jnp.float32), 10)
+            cp = jnp.concatenate(
+                [
+                    jnp.broadcast_to(code * light.code_scale, (m, 8)),
+                    jnp.broadcast_to(
+                        pose_feat, (m, pose_feat.shape[-1])
+                    ).astype(jnp.float32),
+                ],
+                axis=1,
+            )
+            density = fused_sigma(
+                weights, pe, cp, block=settings.fused_block,
+                interpret=jax.default_backend() != "tpu",
+            )[..., None]
+        else:
+            _, density = model.apply(
+                params,
+                pc,
+                None if is_code else code[: pc.shape[0]],
+                jnp.broadcast_to(pose_feat, (pc.shape[0], pose_feat.shape[-1])),
+                light.code_scale,
+                True,
+                method="sigma_essence",
+                code=code if is_code else None,
+            )
         return jnp.where(tmask, 0.0, density[..., 0])
 
     if settings.remat:
@@ -792,7 +855,7 @@ def _gated_shading(
         pf = jnp.broadcast_to(pose_feat, (pw.shape[0], pose_feat.shape[-1]))
         color, _ = _point_network(
             params, model, pw_light, pc, dw, code, pf, light.code_scale,
-            tc2, tw2,
+            tc2, tw2, settings,
         )
         return color
 

@@ -1,0 +1,259 @@
+"""Fused SpaceNet Pallas kernel (ops/fused_mlp.py) vs the autodiff path.
+
+The fused kernels claim EXACTNESS (not approximation): forward sigma/
+essence/normal and the full training gradient — including the second-order
+terms through the autodiff surface normal — must match the
+`jax.vjp`-formulated XLA path to f32 roundoff. These tests check that claim
+in interpret mode on CPU, at the kernel level and through the whole
+`render_rays` pipeline. Behavioral reference for the computation:
+/root/reference `model/spacenet.py:108-148` (forward) and `:301-311`
+(autograd normal).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dual_space_nerf_tpu.data.synthetic import make_scene
+from dual_space_nerf_tpu.models import DualSpaceNeRF
+from dual_space_nerf_tpu.ops import fused_mlp as fm
+from dual_space_nerf_tpu.ops.posenc import posenc
+from dual_space_nerf_tpu.renderer import (
+    LightState,
+    MeshBundle,
+    RayBatch,
+    RenderSettings,
+    render_rays,
+)
+
+R, S = 8, 8
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    model = DualSpaceNeRF(max_frames=10)
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((4, 3)),
+        jnp.zeros((4,), jnp.int32),
+        jnp.zeros((4, 16)),
+    )
+    return model, params
+
+
+def _inputs(n, seed=1):
+    k = jax.random.split(jax.random.key(seed), 4)
+    pts = jax.random.normal(k[0], (n, 3)) * 0.5
+    code = jax.random.normal(k[1], (8,))
+    pose_feat = jax.random.normal(k[2], (16,)) * 0.3
+    return pts, code, pose_feat
+
+
+def _ref_fn(model):
+    def fn(params, pts, code, pose_feat, code_scale):
+        pf = jnp.broadcast_to(pose_feat, (pts.shape[0], 16))
+
+        def se(xc):
+            return model.apply(
+                params, xc, None, pf, code_scale,
+                method="sigma_essence", code=code,
+            )
+
+        (essence, density), pullback = jax.vjp(se, pts)
+        normal = pullback((jnp.zeros_like(essence), jnp.ones_like(density)))[0]
+        return density[:, 0], essence, normal
+
+    return fn
+
+
+def _fused_fn(block):
+    def fn(params, pts, code, pose_feat, code_scale):
+        w = fm.extract_nerf_weights(params["params"]["nerf"])
+        pe = posenc(pts, 10)
+        cp = jnp.concatenate(
+            [
+                jnp.broadcast_to(code * code_scale, (pts.shape[0], 8)),
+                jnp.broadcast_to(pose_feat, (pts.shape[0], 16)),
+            ],
+            axis=1,
+        )
+        return fm.fused_sigma_essence_normal(
+            w, pe, cp, block=block, interpret=True
+        )
+
+    return fn
+
+
+def _assert_close(a, b, rtol, name):
+    a, b = np.asarray(a), np.asarray(b)
+    scale = np.max(np.abs(a)) + 1e-12
+    np.testing.assert_allclose(b, a, atol=rtol * scale, err_msg=name)
+
+
+@pytest.mark.parametrize("n,block", [(300, 256), (64, 256), (256, 128)])
+def test_forward_matches_autodiff_path(model_params, n, block):
+    """sigma/essence/normal match jax.vjp formulation, incl. ragged N."""
+    model, params = model_params
+    pts, code, pose_feat = _inputs(n)
+    cs = jnp.asarray(0.7)
+    s0, e0, n0 = _ref_fn(model)(params, pts, code, pose_feat, cs)
+    s1, e1, n1 = _fused_fn(block)(params, pts, code, pose_feat, cs)
+    _assert_close(s0, s1, 1e-5, "sigma")
+    _assert_close(e0, e1, 1e-5, "essence")
+    _assert_close(n0, n1, 1e-5, "normal")
+
+
+def test_full_gradient_matches_autodiff_path(model_params):
+    """d(loss)/d(params, pts, code, pose_feat, code_scale) — including the
+    second-order terms through the normal — match the XLA path."""
+    model, params = model_params
+    n = 300
+    pts, code, pose_feat = _inputs(n)
+    cs = jnp.asarray(0.7)
+    k = jax.random.split(jax.random.key(9), 3)
+    ca = jax.random.normal(k[0], (n,))
+    cb = jax.random.normal(k[1], (n, 3))
+    cc = jax.random.normal(k[2], (n, 3))
+
+    def loss(fn):
+        def f(*args):
+            s, e, nr = fn(*args)
+            return jnp.sum(ca * s) + jnp.sum(cb * e) + jnp.sum(cc * nr)
+
+        return f
+
+    argnums = (0, 1, 2, 3, 4)
+    g0 = jax.grad(loss(_ref_fn(model)), argnums)(
+        params, pts, code, pose_feat, cs
+    )
+    g1 = jax.grad(loss(_fused_fn(256)), argnums)(
+        params, pts, code, pose_feat, cs
+    )
+    for name, a, b in zip(
+        ["params", "pts", "code", "pose_feat", "code_scale"], g0, g1
+    ):
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            _assert_close(la, lb, 2e-5, f"grad[{name}]")
+
+
+def test_density_only_kernel(model_params):
+    """fused_sigma matches the density head, value and gradient."""
+    model, params = model_params
+    n = 200
+    pts, code, pose_feat = _inputs(n, seed=3)
+    cs = jnp.asarray(1.0)
+    pf = jnp.broadcast_to(pose_feat, (n, 16))
+
+    def ref(params, pts):
+        _, density = model.apply(
+            params, pts, None, pf, cs, True,
+            method="sigma_essence", code=code,
+        )
+        return density[:, 0]
+
+    def fused(params, pts):
+        w = fm.extract_nerf_weights(params["params"]["nerf"])
+        pe = posenc(pts, 10)
+        cp = jnp.concatenate(
+            [jnp.broadcast_to(code * cs, (n, 8)), pf], axis=1
+        )
+        return fm.fused_sigma(w, pe, cp, block=128, interpret=True)
+
+    _assert_close(ref(params, pts), fused(params, pts), 1e-5, "sigma")
+    ca = jax.random.normal(jax.random.key(11), (n,))
+    g0 = jax.grad(lambda p, x: jnp.sum(ca * ref(p, x)), (0, 1))(params, pts)
+    g1 = jax.grad(lambda p, x: jnp.sum(ca * fused(p, x)), (0, 1))(params, pts)
+    for la, lb in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        _assert_close(la, lb, 2e-5, "sigma grad")
+
+
+def test_code_scale_zero(model_params):
+    """code_scale=0 (the novel-pose inference path) stays exact."""
+    model, params = model_params
+    pts, code, pose_feat = _inputs(150, seed=5)
+    cs = jnp.asarray(0.0)
+    s0, e0, n0 = _ref_fn(model)(params, pts, code, pose_feat, cs)
+    s1, e1, n1 = _fused_fn(256)(params, pts, code, pose_feat, cs)
+    _assert_close(s0, s1, 1e-5, "sigma")
+    _assert_close(e0, e1, 1e-5, "essence")
+    _assert_close(n0, n1, 1e-5, "normal")
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-level: render_rays with FUSED_MLP on vs off
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(n_theta=14, n_phi=12, h=64, w=64)
+
+
+@pytest.fixture(scope="module")
+def mesh(scene):
+    return MeshBundle(
+        faces=jnp.asarray(scene.faces),
+        verts_world=jnp.asarray(scene.verts_world),
+        verts_cano=jnp.asarray(scene.verts_cano),
+    )
+
+
+def _ray_batch(scene, r=R):
+    rng = np.random.default_rng(5)
+    eye = (-scene.R.T @ scene.T).ravel()
+    targets = scene.verts_world[rng.integers(0, len(scene.verts_world), r)]
+    targets = targets + 0.05 * rng.standard_normal((r, 3))
+    d = targets - eye
+    return RayBatch(
+        ray_o=jnp.asarray(np.broadcast_to(eye, (r, 3)), jnp.float32),
+        ray_d=jnp.asarray(d, jnp.float32),
+        near=jnp.full((r,), 0.5, jnp.float32),
+        far=jnp.full((r,), 2.0, jnp.float32),
+        frame=jnp.asarray(0, jnp.int32),
+        body_pose=jnp.asarray(scene.poses[1:], jnp.float32),
+    )
+
+
+def _settings(**kw):
+    base = dict(n_samples=S, sample_mode="GG", mlp_chunk=64, knn_impl="xla")
+    base.update(kw)
+    return RenderSettings(**base)
+
+
+@pytest.mark.parametrize("topk", [0, 4])
+def test_render_rays_fused_matches_xla(scene, mesh, model_params, topk):
+    model, params = model_params
+    batch = _ray_batch(scene)
+    light = LightState.identity()
+
+    outs = {}
+    for fused in (False, True):
+        sett = _settings(fused_mlp=fused, fused_block=64, shade_topk=topk)
+        outs[fused] = render_rays(
+            params, model, batch, mesh, sett, light, None, train=False
+        )
+    for key in ("color", "acc_map", "depth_map", "weights"):
+        _assert_close(outs[False][key], outs[True][key], 1e-4, key)
+
+
+def test_render_rays_fused_grad_matches_xla(scene, mesh, model_params):
+    """One full training gradient (photometric + mask loss shape) matches."""
+    model, params = model_params
+    batch = _ray_batch(scene)
+    light = LightState.identity()
+    target = jnp.linspace(0, 1, R * 3).reshape(R, 3)
+
+    def loss(p, fused):
+        sett = _settings(fused_mlp=fused, fused_block=64)
+        out = render_rays(
+            p, model, batch, mesh, sett, light, jax.random.key(7), train=True
+        )
+        return jnp.mean((out["color"] - target) ** 2) + 0.1 * jnp.mean(
+            out["acc_map"]
+        )
+
+    g0 = jax.grad(loss)(params, False)
+    g1 = jax.grad(loss)(params, True)
+    flat0, flat1 = jax.tree.leaves(g0), jax.tree.leaves(g1)
+    assert len(flat0) == len(flat1)
+    for la, lb in zip(flat0, flat1):
+        _assert_close(la, lb, 5e-4, "train grad")
