@@ -740,27 +740,36 @@ def _gated_shading(
     faces_wc = _faces_table(mesh)
 
     # ---- density-only pass over ALL samples (warp fused into the chunk) ----
-    def dens_chunk(chunk_args):
-        pw, fi = chunk_args
-        pc, tmask, _, _ = _warp_chunk(pw, fi, faces_wc, settings)
-        if _use_fused(settings, model, code):
-            m = pc.shape[0]
-            weights = extract_nerf_weights(params["params"]["nerf"])
-            pe = posenc(pc.astype(jnp.float32), 10)
-            cp = jnp.concatenate(
-                [
-                    jnp.broadcast_to(code * light.code_scale, (m, 8)),
-                    jnp.broadcast_to(
-                        pose_feat, (m, pose_feat.shape[-1])
-                    ).astype(jnp.float32),
-                ],
-                axis=1,
-            )
-            density = fused_sigma(
-                weights, pe, cp, block=settings.fused_block,
-                interpret=jax.default_backend() != "tpu",
-            )[..., None]
-        else:
+    if _use_fused(settings, model, code):
+        # The fused kernel never materializes backbone activations, so the
+        # lax.map microbatching (a memory measure) is unnecessary: the whole
+        # warp -> posenc -> pack chain fuses into ONE XLA expression rooted
+        # at the kernel's (N, 128) input (the face-row gather fuses into its
+        # elementwise consumers — no gather-rooted HBM writes), the weights
+        # are packed once per step, and there are no chunk-boundary bubbles.
+        pc, tmask_f, _, _ = _warp_chunk(
+            pts_w_flat, fidx_flat, faces_wc, settings
+        )
+        weights = extract_nerf_weights(params["params"]["nerf"])
+        pe = posenc(pc.astype(jnp.float32), 10)
+        cp = jnp.concatenate(
+            [
+                jnp.broadcast_to(code * light.code_scale, (n, 8)),
+                jnp.broadcast_to(
+                    pose_feat, (n, pose_feat.shape[-1])
+                ).astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        density = fused_sigma(
+            weights, pe, cp, block=settings.fused_block,
+            interpret=jax.default_backend() != "tpu",
+        )
+        sigma_flat = jnp.where(tmask_f, 0.0, density)
+    else:
+        def dens_chunk(chunk_args):
+            pw, fi = chunk_args
+            pc, tmask, _, _ = _warp_chunk(pw, fi, faces_wc, settings)
             _, density = model.apply(
                 params,
                 pc,
@@ -771,13 +780,13 @@ def _gated_shading(
                 method="sigma_essence",
                 code=code if is_code else None,
             )
-        return jnp.where(tmask, 0.0, density[..., 0])
+            return jnp.where(tmask, 0.0, density[..., 0])
 
-    if settings.remat:
-        dens_chunk = jax.checkpoint(dens_chunk)
-    sigma_flat = _chunked_points(
-        dens_chunk, n, min(settings.mlp_chunk, n), (pts_w_flat, fidx_flat)
-    )
+        if settings.remat:
+            dens_chunk = jax.checkpoint(dens_chunk)
+        sigma_flat = _chunked_points(
+            dens_chunk, n, min(settings.mlp_chunk, n), (pts_w_flat, fidx_flat)
+        )
     if from_blocked is not None:
         sigma_flat = from_blocked(sigma_flat)
         fidx_flat = from_blocked(fidx_flat)

@@ -114,6 +114,11 @@ if __name__ == "__main__":
     print(f"gated step K=8 (bench config) : {step_ms(False, None, shade_topk=8):8.2f} ms")
     print(f"gated step K=8 + reuse faces  : "
           f"{step_ms(False, None, shade_topk=8, reuse_warp_faces=True):8.2f} ms")
+    for blk in (256, 512, 1024, 2048):
+        print(
+            f"gated K=8 + reuse + FUSED_MLP block={blk:5d} : "
+            f"{step_ms(False, None, shade_topk=8, reuse_warp_faces=True, fused_mlp=True, fused_block=blk):8.2f} ms"
+        )
 
     # isolated pruned KNN (world + canonical workload shapes)
     n = NRAYS * S
@@ -153,18 +158,29 @@ if __name__ == "__main__":
     )
     from dual_space_nerf_tpu.models import DualSpaceNeRF
 
-    for dtype, tag in ((None, "f32"), (jnp.bfloat16, "bf16")):
+    variants = [
+        (None, False, 512, "f32"),
+        (jnp.bfloat16, False, 512, "bf16"),
+        (None, True, 512, "fused b=512"),
+        (None, True, 1024, "fused b=1024"),
+        (None, True, 2048, "fused b=2048"),
+    ]
+    for dtype, fused, blk, tag in variants:
         model = DualSpaceNeRF(compute_dtype=dtype)
         state = create_train_state(model, tx, jax.random.key(0))
         params = state.params
         pose_feat = jnp.zeros((n, 16), jnp.float32)
-        frame_flat = jnp.zeros((n,), jnp.int32)
+        code = jnp.zeros((8,), jnp.float32)  # precomputed-code path
         tris = jnp.zeros((n, 3, 3), jnp.float32)
+        net_settings = RenderSettings(
+            n_samples=S, fused_mlp=fused, fused_block=blk
+        )
 
         def net_loss(params, pc):
             color, sigma = _point_network(
-                params, model, pts, pc, pts, frame_flat, pose_feat,
+                params, model, pts, pc, pts, code, pose_feat,
                 jnp.float32(1.0), tris + pc[:, None, :], tris + pc[:, None, :],
+                net_settings,
             )
             return jnp.mean(color ** 2) + jnp.mean(sigma ** 2)
 
