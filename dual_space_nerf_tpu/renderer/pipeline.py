@@ -870,9 +870,15 @@ def _gated_shading(
 
     if settings.remat:
         chunk_fn = jax.checkpoint(chunk_fn)
+    # under the fused kernel the big activations never leave VMEM, so the
+    # (R*K)-point color pass runs as one call: weights pack once, and the
+    # face-row gathers still fuse into their elementwise consumers
+    color_chunk = (
+        r * k if _use_fused(settings, model, code)
+        else min(settings.mlp_chunk, r * k)
+    )
     color_sel = _chunked_points(
-        chunk_fn, r * k, min(settings.mlp_chunk, r * k),
-        (pw_sel, dw_sel, fi_sel, cidx),
+        chunk_fn, r * k, color_chunk, (pw_sel, dw_sel, fi_sel, cidx),
     )
 
     # tail completion: every unselected sample takes the color of the
