@@ -228,3 +228,33 @@ def test_sharded_step_with_pruned_pallas_kernel(setup):
         jax.tree_util.tree_leaves(state_b.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_step_with_fused_mlp(setup):
+    """The fused SpaceNet Pallas kernels inside the GSPMD-sharded train jit
+    (interpret mode on CPU, gated shading): sharded == unsharded. On a real
+    pod this is the MODEL.FUSED_MLP production path."""
+    scene, mesh, model, tx, _ = setup
+    sett = RenderSettings(
+        n_samples=S, sample_mode="GG", mlp_chunk=2 * S, knn_impl="xla",
+        perturb=0.0, raw_noise_std=0.0, fused_mlp=True, fused_block=64,
+        shade_topk=4,
+    )
+    batch = _train_batch(scene, r=16)
+    rng = jax.random.key(3)
+
+    state_a = create_train_state(model, tx, jax.random.key(0))
+    step_a = make_train_step(model, tx, sett)
+    state_a, ma = step_a(state_a, batch, mesh, rng)
+
+    ray_mesh = Mesh(np.array(jax.devices()[:8]), ("rays",))
+    state_b = create_train_state(model, tx, jax.random.key(0))
+    step_b = make_train_step(model, tx, sett, mesh=ray_mesh)
+    state_b, mb = step_b(state_b, batch, mesh, rng)
+
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
