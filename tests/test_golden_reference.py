@@ -460,3 +460,26 @@ def test_uniform_sampling_mode_matches_reference(golden, ours):
     np.testing.assert_allclose(
         np.asarray(out["z_vals"]), z_ref.reshape(R, S).numpy(), atol=2e-5
     )
+
+
+def test_fused_kernels_match_reference_goldens(golden, ours):
+    """The fused SpaceNet Pallas path (MODEL.FUSED_MLP) against the
+    reference-captured tensors directly — not merely against our own XLA
+    transcription (tests/test_fused_mlp.py does that)."""
+    import dataclasses
+
+    sett = dataclasses.replace(ours["settings"], fused_mlp=True,
+                               fused_block=64)
+    out = render_rays(
+        ours["params"], ours["model"], ours["rays"], ours["mesh"], sett,
+        LightState.identity(), rng=None, train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["color"]), golden["color"], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["acc_map"]), golden["acc"], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["weights"]), golden["weights"], atol=2e-3
+    )
