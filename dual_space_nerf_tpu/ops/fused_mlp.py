@@ -29,9 +29,10 @@ Layer naming (flax param scope -> math):
 Input layout inside the kernel (reordered from the model's [code, pe, pose]
 so every slice lands on a 128-lane boundary):
   x = [pe(63) | code(8) | pose(16) | zeros(41)]  -> (N, 128)
-K1's rows are permuted to match; K5 is zero-padded to (384, 256) so the skip
-can be the aligned concat [h4(256) | x[:, :128]] — the non-pe lanes of x hit
-zero rows of K5 and contribute nothing.
+K1's rows are permuted to match; K5 is split as K5a (256, 256, the h4 rows)
+and K5b (128, 256, the pe rows zero-padded to x's lane layout), so the skip
+is the two-matmul sum h4 @ K5a + x @ K5b — no in-kernel concatenation, and
+the non-pe lanes of x hit zero rows of K5b and contribute nothing.
 
 The gradient of sigma w.r.t. the positional encoding (GPE, 63 values/point)
 is an explicit kernel *output*: the J_pe application (normal assembly from
@@ -62,7 +63,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 _IN = 128          # padded input lanes: pe 63 | code 8 | pose 16 | zeros
 _W = 256           # backbone width
-_SKIP = 384        # padded skip width: h4 256 | pe 63 | zeros
 _PE = 63
 _NF = 10           # posenc frequencies
 F32 = jnp.float32
@@ -110,14 +110,16 @@ def _pack(weights, with_color: bool):
     k1p = k1p.at[:_PE].set(k1[8 : 8 + _PE])
     k1p = k1p.at[_PE : _PE + 8].set(k1[:8])
     k1p = k1p.at[_PE + 8 : _PE + 24].set(k1[8 + _PE :])
-    k5p = jnp.zeros((_SKIP, _W), F32).at[:319].set(ks[4].astype(F32))
+    k5 = ks[4].astype(F32)                                 # (319, 256)
+    k5b = jnp.zeros((_IN, _W), F32).at[:_PE].set(k5[_W:])  # pe rows -> x lanes
     k8p = jnp.zeros((_W, 128), F32).at[:, :1].set(ks[7].astype(F32))
     packed = {
         "k1": k1p,
         "k2": ks[1].astype(F32),
         "k3": ks[2].astype(F32),
         "k4": ks[3].astype(F32),
-        "k5": k5p,
+        "k5a": k5[:_W],
+        "k5b": k5b,
         "k6": ks[5].astype(F32),
         "k7": ks[6].astype(F32),
         "k8": k8p,
@@ -149,8 +151,9 @@ def _unpack_grads(g, with_color: bool):
     k1 = k1.at[:8].set(g["k1"][_PE : _PE + 8])
     k1 = k1.at[8 : 8 + _PE].set(g["k1"][:_PE])
     k1 = k1.at[8 + _PE :].set(g["k1"][_PE + 8 : _PE + 24])
+    k5 = jnp.concatenate([g["k5a"], g["k5b"][:_PE]], axis=0)  # (319, 256)
     ks = [
-        k1, g["k2"], g["k3"], g["k4"], g["k5"][:319], g["k6"], g["k7"],
+        k1, g["k2"], g["k3"], g["k4"], k5, g["k6"], g["k7"],
         g["k8row"].T[:, :1] if "k8row" in g else g["k8"],
     ]
     bs = [g[f"b{i}"][0, :_W if i < 8 else 128] for i in range(1, 8)]
@@ -237,26 +240,29 @@ def _fwd_body(x, w, with_color):
     ):
         h = jnp.maximum(_dot(h, k) + b, 0.0)
         hs.append(h)
-    s = jnp.concatenate([h, x], axis=1)                     # (P, 384)
-    h = s
-    for k, b in [(w["k5"], w["b5"]), (w["k6"], w["b6"]), (w["k7"], w["b7"])]:
+    # skip layer as a two-matmul sum (no in-kernel concatenation)
+    h = jnp.maximum(
+        _dot(h, w["k5a"]) + _dot(x, w["k5b"]) + w["b5"], 0.0
+    )
+    hs.append(h)
+    for k, b in [(w["k6"], w["b6"]), (w["k7"], w["b7"])]:
         h = jnp.maximum(_dot(h, k) + b, 0.0)
         hs.append(h)
     sigma = _dot(h, w["k8"]) + w["b8"]                      # (P, 128), lane 0
     if not with_color:
-        return sigma, None, None, hs, s
+        return sigma, None, None, hs
     e1 = jnp.maximum(_dot(h, w["k9"]) + w["b9"], 0.0)       # (P, 128)
     essence = _dot(e1, w["k10"]) + w["b10"]                 # lanes 0..2
     # g-recursion: gpe = d(sigma)/d(pe lanes)
     u = (hs[6] > 0.0) * w["k8row"]                          # u7
     for k, hprev in [(w["k7"], hs[5]), (w["k6"], hs[4])]:
         u = (hprev > 0.0) * _dot_t(u, k)                    # u6, u5
-    gs = _dot_t(u, w["k5"])                                 # (P, 384)
-    u = (hs[3] > 0.0) * gs[:, :_W]                          # u4
+    u5 = u
+    u = (hs[3] > 0.0) * _dot_t(u5, w["k5a"])                # u4
     for k, hprev in [(w["k4"], hs[2]), (w["k3"], hs[1]), (w["k2"], hs[0])]:
         u = (hprev > 0.0) * _dot_t(u, k)
-    gpe = _dot_t(u, w["k1"]) + gs[:, _W:]                   # (P, 128)
-    return sigma, essence, gpe, hs, s
+    gpe = _dot_t(u, w["k1"]) + _dot_t(u5, w["k5b"])         # (P, 128)
+    return sigma, essence, gpe, hs
 
 
 def _fwd_kernel(*refs, with_color: bool, wnames: tuple):
@@ -269,7 +275,7 @@ def _fwd_kernel(*refs, with_color: bool, wnames: tuple):
         w = dict(zip(wnames, refs[1 : 1 + len(wnames)]))
         (sigma_ref,) = refs[1 + len(wnames) :]
     wv = {k: r[...] for k, r in w.items()}
-    sigma, essence, gpe, _, _ = _fwd_body(x_ref[...], wv, with_color)
+    sigma, essence, gpe, _ = _fwd_body(x_ref[...], wv, with_color)
     sigma_ref[...] = sigma[:, :1]
     if with_color:
         ess_ref[...] = essence[:, :3]
@@ -298,7 +304,7 @@ def _bwd_kernel(*refs, with_color: bool, wnames: tuple, gnames: tuple):
 
     wv = {k: r[...] for k, r in w.items()}
     x = x_ref[...]
-    _, _, _, hs, s = _fwd_body(x, wv, False)
+    _, _, _, hs = _fwd_body(x, wv, False)
     h1, h2, h3, h4, h5, h6, h7 = hs
     m = [h > 0.0 for h in hs]
     sbar = sbar_ref[...]                                    # (P, 1)
@@ -327,10 +333,11 @@ def _bwd_kernel(*refs, with_color: bool, wnames: tuple, gnames: tuple):
         grefs[kname][...] += _dot_g(hprev, dz)
         grefs[bname][...] += jnp.sum(dz, axis=0, keepdims=True)
         dz = mprev * _dot_t(dz, wv[kname])
-    grefs["k5"][...] += _dot_g(s, dz)
+    grefs["k5a"][...] += _dot_g(h4, dz)
+    grefs["k5b"][...] += _dot_g(x, dz)
     grefs["b5"][...] += jnp.sum(dz, axis=0, keepdims=True)
-    ds = _dot_t(dz, wv["k5"])                               # (P, 384)
-    dz = m[3] * ds[:, :_W]
+    ds_b = _dot_t(dz, wv["k5b"])                            # (P, 128) x part
+    dz = m[3] * _dot_t(dz, wv["k5a"])
     for kname, bname, hprev, mprev in [
         ("k4", "b4", h3, m[2]), ("k3", "b3", h2, m[1]), ("k2", "b2", h1, m[0]),
     ]:
@@ -339,7 +346,7 @@ def _bwd_kernel(*refs, with_color: bool, wnames: tuple, gnames: tuple):
         dz = mprev * _dot_t(dz, wv[kname])
     grefs["k1"][...] += _dot_g(x, dz)
     grefs["b1"][...] += jnp.sum(dz, axis=0, keepdims=True)
-    xbar = _dot_t(dz, wv["k1"]) + ds[:, _W:]                # skip pe lanes
+    xbar = _dot_t(dz, wv["k1"]) + ds_b                      # skip pe lanes
 
     if not with_color:
         xbar_ref[...] = xbar
@@ -350,12 +357,11 @@ def _bwd_kernel(*refs, with_color: bool, wnames: tuple, gnames: tuple):
     u7 = m[6] * wv["k8row"]
     u6 = m[5] * _dot_t(u7, wv["k7"])
     u5 = m[4] * _dot_t(u6, wv["k6"])
-    gs = _dot_t(u5, wv["k5"])                               # (P, 384)
-    u4 = m[3] * gs[:, :_W]
+    u4 = m[3] * _dot_t(u5, wv["k5a"])
     u3 = m[2] * _dot_t(u4, wv["k4"])
     u2 = m[1] * _dot_t(u3, wv["k3"])
     u1 = m[0] * _dot_t(u2, wv["k2"])
-    gpe_ref[...] = _dot_t(u1, wv["k1"]) + gs[:, _W:]
+    gpe_ref[...] = _dot_t(u1, wv["k1"]) + _dot_t(u5, wv["k5b"])
 
     # reverse (upward) sweep driven by the gpe cotangent
     gbar = gbar_ref[...]                                    # (P, 128)
@@ -366,9 +372,9 @@ def _bwd_kernel(*refs, with_color: bool, wnames: tuple, gnames: tuple):
     ]:
         grefs[kname][...] += _dot_g(gb, unext)
         gb = mnext * _dot(gb, wv[kname])
-    gbs = jnp.concatenate([gb, gbar], axis=1)               # (P, 384)
-    grefs["k5"][...] += _dot_g(gbs, u5)
-    gb = m[4] * _dot(gbs, wv["k5"])
+    grefs["k5a"][...] += _dot_g(gb, u5)
+    grefs["k5b"][...] += _dot_g(gbar, u5)
+    gb = m[4] * (_dot(gb, wv["k5a"]) + _dot(gbar, wv["k5b"]))
     for kname, unext, mnext in [("k6", u6, m[5]), ("k7", u7, m[6])]:
         grefs[kname][...] += _dot_g(gb, unext)
         gb = mnext * _dot(gb, wv[kname])
@@ -379,11 +385,11 @@ def _bwd_kernel(*refs, with_color: bool, wnames: tuple, gnames: tuple):
 # ---------------------------------------------------------------------------
 # pallas_call wrappers + custom_vjp
 # ---------------------------------------------------------------------------
-_WNAMES_D = ("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8", "k8row",
+_WNAMES_D = ("k1", "k2", "k3", "k4", "k5a", "k5b", "k6", "k7", "k8", "k8row",
              "b1", "b2", "b3", "b4", "b5", "b6", "b7", "b8")
 _WNAMES_C = _WNAMES_D + ("k9", "k10", "b9", "b10")
 # backward never reads k8 (uses k8row); grads accumulate under these names
-_GNAMES_D = ("k1", "k2", "k3", "k4", "k5", "k6", "k7", "k8row",
+_GNAMES_D = ("k1", "k2", "k3", "k4", "k5a", "k5b", "k6", "k7", "k8row",
              "b1", "b2", "b3", "b4", "b5", "b6", "b7", "b8")
 _GNAMES_C = _GNAMES_D + ("k9", "k10", "b9", "b10")
 
