@@ -22,6 +22,7 @@ assumption) so vs_baseline = measured / 5000.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -75,8 +76,12 @@ def main():
         # 60-epoch A/Bs evaluated with EXACT shading on held-out views):
         # exact 19.34 dB / K=8 19.15 / K=8+reuse 19.31 masked PSNR, SSIM
         # 0.802 / 0.804 / 0.805.
-        shade_topk=8,
-        reuse_warp_faces=True,
+        shade_topk=int(os.environ.get("BENCH_TOPK", "8")),
+        reuse_warp_faces=os.environ.get("BENCH_REUSE", "1") == "1",
+        # fused SpaceNet Pallas kernels — A/B via env until the TPU
+        # measurement picks the shipped default
+        fused_mlp=os.environ.get("BENCH_FUSED", "0") == "1",
+        fused_block=int(os.environ.get("BENCH_FUSED_BLOCK", "512")),
     )
 
     # rays come from the REAL host pipeline — a 512x512 splatted image of the

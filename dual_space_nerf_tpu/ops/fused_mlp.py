@@ -43,7 +43,7 @@ Second-order derivation (flax (in, out) kernels, row-vector points). The
 forward normal reverse pass ("g-recursion"):
   g7 = K8[:, 0] (constant row)         u7 = m7 * g7
   g_{l-1} = u_l @ K_l^T                u_l = m_l * g_l        l = 7..1
-  gs = u5 @ K5^T (384);  g4 = gs[:256];  gpe = (u1 @ K1^T)[:63] + gs[256:319]
+  g4 = u5 @ K5a^T;   gpe = (u1 @ K1^T)[:63] + u5 @ K5b^T  (skip split)
 Given the cotangent gbar of gpe, the vjp of this chain w.r.t. the weights
 runs the recursion *upward* (mask cotangents are zero a.e.):
   gX0bar = gbar;  ubar_l = gbar_{l-1} @ K_l;  Kbar_l += gbar_{l-1}^T @ u_l
