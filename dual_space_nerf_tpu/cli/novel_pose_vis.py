@@ -95,6 +95,10 @@ def main(argv=None):
         "the performer's body shape differs; see tool/"
         "generate_novelpose_vertices.py)",
     )
+    parser.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard render chunks over all local devices",
+    )
     args = parser.parse_args(argv)
 
     from .common import eval_settings, load_cfg, load_faces, load_render_state
@@ -133,9 +137,12 @@ def main(argv=None):
 
     model, params = load_render_state(args.ckpt, cfg)
     faces = load_faces(cfg, dataset)
+    from ..parallel import local_ray_mesh
+
     renderer = ImageRenderer(
         model, params, eval_settings(cfg), faces, dataset.canonical_vertex,
         chunk=cfg.TEST.RAY_CHUNK,
+        mesh_devices=local_ray_mesh() if args.data_parallel else None,
     )
     run_motion_transfer(
         dataset, renderer, save_dir, epoch,

@@ -58,6 +58,10 @@ def main(argv=None):
     parser.add_argument("--exp", type=str, default="test")
     parser.add_argument("--ckpt", type=str, required=True)
     parser.add_argument("--rot_center", type=float, nargs=3, default=None)
+    parser.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard render chunks over all local devices",
+    )
     args = parser.parse_args(argv)
 
     from ..data import select_dataset
@@ -81,9 +85,12 @@ def main(argv=None):
 
     model, params = load_render_state(args.ckpt, cfg)
     faces = load_faces(cfg, dataset)
+    from ..parallel import local_ray_mesh
+
     renderer = ImageRenderer(
         model, params, eval_settings(cfg), faces, dataset.canonical_vertex,
         chunk=cfg.TEST.RAY_CHUNK,
+        mesh_devices=local_ray_mesh() if args.data_parallel else None,
     )
     run_lighting_sweep(dataset, renderer, save_dir, epoch, args.rot_center)
 

@@ -98,3 +98,17 @@ def test_vis_lighting_cli(trained_exp):
     assert len(frames) >= 10
     vids = glob.glob(str(work / "vis_lighting/cli_surface/*.mp4"))
     assert vids, "no relighting video written"
+
+
+def test_vis_lighting_cli_data_parallel(trained_exp):
+    """--data_parallel shards the render chunks over the 8 virtual devices
+    and must produce the same artifact set."""
+    work, cfg, ckpt = trained_exp
+    from dual_space_nerf_tpu.cli import vis_lighting as cli_vis
+
+    cli_vis.main(
+        ["-c", cfg, "--exp", "cli_dp", "--ckpt", ckpt, "--data_parallel"]
+    )
+    frames = glob.glob(str(work / "vis_lighting/cli_dp/**/*.jpg"),
+                       recursive=True)
+    assert len(frames) >= 10

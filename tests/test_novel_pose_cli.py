@@ -153,7 +153,7 @@ def test_novel_pose_vis_cli_cross_dataset(cli_env, monkeypatch):
     cli_np.main([
         "-c", cli_env["cfg"], "--exp", "np_cli", "--ckpt", cli_env["ckpt"],
         "--performer", "CoreView_377", "--motion_seq", "S9",
-        "--n_frames", "2",
+        "--n_frames", "2", "--data_parallel",
     ])
 
     out = cli_env["work"] / "motion_transfer" / "np_cli"
