@@ -16,6 +16,9 @@ run() {
   tail -40 "$out/$name.log" | tee -a "$out/summary.txt"
 }
 
+# 0. Mosaic-compiled fused-kernel parity (CI only proves interpret mode)
+run fused_check python scripts/tpu_fused_check.py
+
 # 1. step profile incl. fused-MLP block sweep (the highest-signal run)
 run profile python scripts/profile_step.py --iters 10
 
