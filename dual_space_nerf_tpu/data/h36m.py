@@ -21,6 +21,7 @@ import os
 import cv2
 import numpy as np
 
+from . import cameras as camera_utils
 from .rays import get_near_far_h36m, sample_rays
 
 
@@ -187,10 +188,10 @@ class H36M:
         cam_ind = self.cam_inds[index]
         K = np.array(self.cams["K"][cam_ind])
         D = np.array(self.cams["D"][cam_ind])
-        img = cv2.undistort(img, K, D)
-        msk = cv2.undistort(msk, K, D)
-        orig_msk = cv2.undistort(orig_msk, K, D)
-        msk_cihp = cv2.undistort(msk_cihp, K, D)
+        img = camera_utils.undistort(img, K, D)
+        msk = camera_utils.undistort(msk, K, D)
+        orig_msk = camera_utils.undistort(orig_msk, K, D)
+        msk_cihp = camera_utils.undistort(msk_cihp, K, D)
 
         R = np.array(self.cams["R"][cam_ind])
         T = np.array(self.cams["T"][cam_ind]) / 1000.0

@@ -105,4 +105,9 @@ class PrefetchLoader:
                 yield item
         finally:
             # reached on epoch end, break, or generator GC: release workers
+            # and WAIT for them — a worker mid-__getitem__ must not outlive
+            # the iterator (it would race dataset teardown, e.g. a tempdir-
+            # backed test tree being deleted under its cv2.imread)
             stop.set()
+            for w in workers:
+                w.join(timeout=5.0)

@@ -81,7 +81,7 @@ class MocapBase:
         if msk_cihp.ndim == 3:
             msk_cihp = msk_cihp[..., 0]
         msk_fg = (msk_cihp != 0).astype(np.uint8)
-        msk_fg = cv2.undistort(
+        msk_fg = camera_utils.undistort(
             msk_fg, self.cams[cam_view]["K"], self.cams[cam_view]["dist"]
         )
         kernel = np.ones((5, 5), np.uint8)
@@ -122,7 +122,7 @@ class MocapBase:
 
         K = np.array(self.cams[cam_name]["K"], np.float64).copy()
         D = np.array(self.cams[cam_name]["dist"])
-        img = cv2.undistort(img, K, D)
+        img = camera_utils.undistort(img, K, D)
 
         msk_fg, msk_cihp = self.get_mask(img_path)
         img = img * msk_fg

@@ -47,7 +47,9 @@ def build_tree(data_dir: str) -> None:
         nm = f"Camera_B{c + 1}"
         names.append(nm)
         mats[f"K_{nm}"] = K
-        mats[f"dist_{nm}"] = np.zeros((5, 1))
+        # real ZJU cameras have nonzero distortion — keep it nonzero so the
+        # bench exercises the cached-undistort remap, not its no-op path
+        mats[f"dist_{nm}"] = np.array([-0.1, 0.05, 1e-3, -1e-3, 0.01]).reshape(5, 1)
         mats[f"R_{nm}"] = __import__("cv2").Rodrigues(R)[0]
         mats[f"T_{nm}"] = T.reshape(3, 1)
 

@@ -234,3 +234,46 @@ def test_prefetch_abandoned_iterator_stops_workers():
     # workers may finish their in-flight item but must not keep going
     assert len(reads) <= n_after_close + 4, (len(reads), n_after_close)
     assert threading.active_count() < 20
+
+
+def test_undistorter_bitwise():
+    """cameras.undistort (cached CV_16SC2 maps + remap) must be bitwise
+    identical to per-frame `cv2.undistort` (the reference's call,
+    `zju_mocap_dataset.py:120`) for every dtype the loaders feed it."""
+    import cv2
+
+    from dual_space_nerf_tpu.data.cameras import Undistorter
+
+    rng = np.random.default_rng(7)
+    h, w = 256, 320
+    K = np.array([[300.0, 0, 160.0], [0, 300.0, 128.0], [0, 0, 1]])
+    D = np.array([-0.3, 0.15, 1e-3, -2e-3, 0.05])
+    ud = Undistorter()
+
+    img_u8 = rng.integers(0, 256, (h, w, 3), np.uint8)
+    msk_u8 = (rng.random((h, w)) > 0.5).astype(np.uint8)
+    img_f32 = rng.random((h, w, 3)).astype(np.float32)
+    for img in (img_u8, msk_u8, img_f32):
+        ref = cv2.undistort(img, K, D)
+        got = ud(img, K, D)
+        assert got.dtype == ref.dtype
+        np.testing.assert_array_equal(got, ref)
+        # second call hits the map cache and must still match
+        np.testing.assert_array_equal(ud(img, K, D), ref)
+
+    # all-zero distortion is an exact no-op (and returns the input as-is)
+    assert ud(img_u8, K, np.zeros(5)) is img_u8
+    np.testing.assert_array_equal(
+        cv2.undistort(img_u8, K, np.zeros(5)), img_u8
+    )
+
+    # a second camera must get its own maps, not the cached ones
+    K2 = np.array([[280.0, 0, 150.0], [0, 290.0, 120.0], [0, 0, 1]])
+    D2 = np.array([0.2, -0.1, 0.0, 0.0, 0.0])
+    np.testing.assert_array_equal(
+        ud(img_u8, K2, D2), cv2.undistort(img_u8, K2, D2)
+    )
+    # and (1, 5)-shaped dist vectors (annots.npy cameras) are accepted
+    np.testing.assert_array_equal(
+        ud(img_u8, K, D.reshape(1, 5)), cv2.undistort(img_u8, K, D)
+    )
