@@ -86,14 +86,9 @@ def nearest_face_clustered(
     """pts (N, 3), centroids (F, 3), table (C, cap) -> (N,) int32."""
     c, cap = table.shape
     k = min(k, c)
-    valid = table >= 0                                       # (C, cap)
-    safe_table = jnp.maximum(table, 0)
-    cent_table = centroids[safe_table]                       # (C, cap, 3)
-    w = valid[..., None].astype(centroids.dtype)
-    counts = jnp.maximum(valid.sum(-1), 1)[:, None]
-    centers = (cent_table * w).sum(1) / counts               # (C, 3)
-    r2 = jnp.sum((cent_table - centers[:, None]) ** 2, -1)   # (C, cap)
-    radius = jnp.sqrt(jnp.max(jnp.where(valid, r2, 0.0), axis=-1))  # (C,)
+    centers, radius, cent_table, valid, safe_table = _cluster_geometry(
+        centroids, table
+    )
 
     n = pts.shape[0]
     n_chunks = -(-n // chunk)
@@ -110,7 +105,11 @@ def nearest_face_clustered(
                 0.0,
             )
         )                                                     # (chunk, C)
-        lower_bound = jnp.maximum(d_center - radius[None], 0.0)
+        # UNclamped signed bound, like nearest_face_grouped below: a clamp
+        # to 0 would tie every cluster whose bounding sphere contains the
+        # query, letting top_k rank the true nearest face's cluster out by
+        # index order when > K spheres overlap the point.
+        lower_bound = d_center - radius[None]
         _, top = jax.lax.top_k(-lower_bound, k)               # (chunk, K)
 
         def body(j, carry):

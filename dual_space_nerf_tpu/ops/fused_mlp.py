@@ -64,6 +64,7 @@ from jax.experimental.pallas import tpu as pltpu
 _IN = 128          # padded input lanes: pe 63 | code 8 | pose 16 | zeros
 _W = 256           # backbone width
 _PE = 63
+_CP = 24            # code (8) + pose feature (16)
 _NF = 10           # posenc frequencies
 F32 = jnp.float32
 
@@ -170,6 +171,12 @@ def _unpack_grads(g, with_color: bool):
 def _build_x(pe, cp, n_pad):
     """[pe | code‖pose | 0] -> (n_pad, 128) f32."""
     n = pe.shape[0]
+    # K1's packed rows are permuted for exactly the [code(8) | pose(16)]
+    # layout; any other cp width would silently misalign lanes against them
+    assert pe.shape[1] == _PE and cp.shape[1] == _CP, (
+        f"fused kernels are specialized to pe={_PE}, cp={_CP}; "
+        f"got pe={pe.shape[1]}, cp={cp.shape[1]}"
+    )
     x = jnp.concatenate(
         [
             pe.astype(F32),
@@ -230,8 +237,12 @@ def _pe_extra_from_nbar(gpe, nbar, dp):
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
-def _fwd_body(x, w, with_color):
-    """Shared forward chain. Returns (sigma_col, essence128, gpe128, hs)."""
+def _fwd_body(x, w, with_color, need_sigma=True):
+    """Shared forward chain. Returns (sigma_col, essence128, gpe128, hs).
+
+    need_sigma=False (the backward's hs-only recompute) skips the density
+    head entirely — the (P,256)x(256,128) k8 matmul would be dead compute
+    there, and skipping it lets the backward drop k8 from its operands."""
     hs = []
     h = x
     for i, (k, b) in enumerate(
@@ -248,7 +259,9 @@ def _fwd_body(x, w, with_color):
     for k, b in [(w["k6"], w["b6"]), (w["k7"], w["b7"])]:
         h = jnp.maximum(_dot(h, k) + b, 0.0)
         hs.append(h)
-    sigma = _dot(h, w["k8"]) + w["b8"]                      # (P, 128), lane 0
+    sigma = (
+        _dot(h, w["k8"]) + w["b8"] if need_sigma else None
+    )                                                       # (P, 128), lane 0
     if not with_color:
         return sigma, None, None, hs
     e1 = jnp.maximum(_dot(h, w["k9"]) + w["b9"], 0.0)       # (P, 128)
@@ -304,7 +317,7 @@ def _bwd_kernel(*refs, with_color: bool, wnames: tuple, gnames: tuple):
 
     wv = {k: r[...] for k, r in w.items()}
     x = x_ref[...]
-    _, _, _, hs = _fwd_body(x, wv, False)
+    _, _, _, hs = _fwd_body(x, wv, False, need_sigma=False)
     h1, h2, h3, h4, h5, h6, h7 = hs
     m = [h > 0.0 for h in hs]
     sbar = sbar_ref[...]                                    # (P, 1)
@@ -430,7 +443,11 @@ def _run_fwd(packed, x, block, interpret, with_color):
 
 def _run_bwd(packed, x, cotangents, block, interpret, with_color):
     n_pad = x.shape[0]
-    wnames = _WNAMES_C if with_color else _WNAMES_D
+    # the backward kernel reads k8row, never the packed (256, 128) k8 —
+    # dropping it saves a dead VMEM-resident operand block per grid step
+    wnames = tuple(
+        n for n in (_WNAMES_C if with_color else _WNAMES_D) if n != "k8"
+    )
     gnames = _GNAMES_C if with_color else _GNAMES_D
     pt_spec = lambda width: pl.BlockSpec(
         (block, width), lambda i: (i, 0), memory_space=pltpu.VMEM

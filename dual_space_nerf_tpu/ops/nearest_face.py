@@ -34,7 +34,6 @@ from jax.experimental.pallas import tpu as pltpu
 # VMEM budget with headroom for the pipelined point blocks.
 _BLOCK_P = 512    # points per grid step
 _BLOCK_F = 1024   # centroid tile inside the kernel
-_PAD_DIST = 1e30  # sentinel for padded centroids
 
 
 def face_centroids(verts: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
@@ -148,26 +147,51 @@ def nearest_face_pallas(
 # --------------------------------------------------------------------------
 # Dispatch
 # --------------------------------------------------------------------------
+_KNN_IMPLS = ("auto", "listed", "pruned", "grouped", "clustered", "pallas", "xla")
+
+
 def nearest_face(
     pts: jnp.ndarray,
     centroids: jnp.ndarray,
     impl: str = "auto",
     cluster_table: jnp.ndarray | None = None,
+    *,
+    tile_table=None,
+    face_perm: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Nearest-centroid index per point.
 
-    impl: auto | clustered | pallas | xla. "auto" picks the Pallas brute
-    force on TPU (the cluster-pruned variants reduce distance WORK ~10x but
-    their XLA gathers currently make them slower wall-clock on TPU — kept as
-    opt-in pending a fused kernel) and XLA elsewhere.
+    impl: auto | listed | pruned | grouped | clustered | pallas | xla.
+    Unknown strings raise instead of silently running the 10-30x slower
+    XLA brute force. "listed"/"pruned" need their precomputed plans
+    (MeshBundle.tile_table / .face_perm); without them — and for "auto"
+    off-TPU — this falls back to the brute-force kernels ("auto" on TPU
+    picks the fastest exact search the supplied tables allow).
     """
-    from .clustered_knn import nearest_face_clustered
+    if impl not in _KNN_IMPLS:
+        raise ValueError(
+            f"unknown knn_impl {impl!r}; expected one of {_KNN_IMPLS}"
+        )
+    from .clustered_knn import nearest_face_clustered, nearest_face_grouped
+    from .pruned_knn import pruned_search_listed, pruned_search_presorted
 
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    on_tpu = jax.default_backend() == "tpu"
+    interp = not on_tpu
+    if tile_table is not None and (
+        impl == "listed" or (impl == "auto" and on_tpu)
+    ):
+        return pruned_search_listed(pts, centroids, tile_table, interpret=interp)
+    if face_perm is not None and (
+        impl == "pruned" or (impl == "auto" and on_tpu)
+    ):
+        return pruned_search_presorted(pts, centroids, face_perm, interpret=interp)
+    if impl == "grouped" and cluster_table is not None:
+        return nearest_face_grouped(
+            pts.reshape(-1, 1, 3), centroids, cluster_table
+        ).reshape(-1)
     if impl == "clustered":
         assert cluster_table is not None, "clustered impl needs a cluster table"
         return nearest_face_clustered(pts, centroids, cluster_table)
-    if impl == "pallas":
+    if impl == "pallas" or (impl != "xla" and on_tpu):
         return nearest_face_pallas(pts, centroids)
     return nearest_face_xla(pts, centroids)

@@ -232,7 +232,13 @@ def pruned_search_presorted(
     cent_t, tile_c, tile_r, n_tiles = pruned_tables(
         centroids, face_perm, block_f=block_f
     )
-    pts_p = jnp.pad(pts_sorted.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    # edge padding keeps the tail block's bounding sphere tight — zero
+    # padding would drag its centroid toward the origin and inflate rho,
+    # degrading that block's tile pruning toward a full scan
+    pts_p = jnp.pad(
+        pts_sorted.astype(jnp.float32), ((0, n_pad - n), (0, 0)),
+        mode="edge",
+    )
     idx_local = _pruned_search_sorted(
         pts_p, cent_t, tile_c, tile_r, n_tiles, interpret=interpret,
         block_p=block_p, block_f=block_f, tighten=tighten,

@@ -198,7 +198,8 @@ def warp_world_to_canonical(
     """
     if fidx is None:
         fidx = nearest_face(
-            pts_w, centroids_w, settings.knn_impl, mesh.cluster_table
+            pts_w, centroids_w, settings.knn_impl, mesh.cluster_table,
+            tile_table=mesh.tile_table, face_perm=mesh.face_perm,
         )                                                           # (N,)
     # gather per-face triangle ROWS: materializing the world+canonical
     # triangles as one (F, 18) table turns the per-point lookup into a
@@ -246,7 +247,8 @@ def normal_canonical_to_world(
     along the gradient through the same triangle on the posed mesh.
     """
     cidx = nearest_face(
-        pts_c, centroids_c, settings.knn_impl, mesh.cluster_table
+        pts_c, centroids_c, settings.knn_impl, mesh.cluster_table,
+        tile_table=mesh.tile_table, face_perm=mesh.face_perm,
     )
     tri_vidx = mesh.faces[cidx]
     tris_c = mesh.verts_cano[tri_vidx]
