@@ -21,8 +21,9 @@ TPU design choices:
   d(density)/d(xyz_cano) for all points in a single batched backward pass.
 - The canonical-space ray direction the reference computes in `w2l`
   (`can_render.py:367-376`) is DEAD COMPUTE: `SpaceNet.use_dir` is hardcoded
-  False (`spacenet.py:22`) so it is never consumed. It is implemented here
-  (`warp_dirs=True`) for completeness but off by default.
+  False (`spacenet.py:22`) so it is never consumed. The render path skips
+  it; `warp_world_to_canonical(ray_d_w=...)` implements it for callers that
+  want canonical-space directions.
 """
 
 from __future__ import annotations
@@ -152,7 +153,6 @@ class RenderSettings:
     # (1024-pt kernel blocks, chunk 16384): 4 = 55.1 ms/step, 8 = 52.4,
     # 16 = 51.9, 32 = 51.6, 64 = 52.1
     block_sc: int = 32
-    warp_dirs: bool = False          # reference computes-but-discards these
     uv_floor: float = -4.0
     uv_ceil: float = 5.0
     max_surface_dist: float = 0.1
@@ -201,16 +201,10 @@ def warp_world_to_canonical(
             pts_w, centroids_w, settings.knn_impl, mesh.cluster_table,
             tile_table=mesh.tile_table, face_perm=mesh.face_perm,
         )                                                           # (N,)
-    # gather per-face triangle ROWS: materializing the world+canonical
-    # triangles as one (F, 18) table turns the per-point lookup into a
-    # single contiguous row gather instead of six scattered vertex reads
-    faces_wc = jnp.concatenate(
-        [
-            mesh.verts_world[mesh.faces].reshape(-1, 9),
-            mesh.verts_cano[mesh.faces].reshape(-1, 9),
-        ],
-        axis=-1,
-    )                                                               # (F, 18)
+    # gather per-face triangle ROWS: the (F, 18) table turns the per-point
+    # lookup into a single contiguous row gather instead of six scattered
+    # vertex reads
+    faces_wc = _faces_table(mesh)                                   # (F, 18)
     tris_wc = faces_wc[fidx]                                        # (N, 18)
     tris_w = tris_wc[:, :9].reshape(-1, 3, 3)
     tris_c = tris_wc[:, 9:].reshape(-1, 3, 3)
@@ -554,6 +548,9 @@ def _render_with_z(
     # sorts the sampled pixels (data/batching.py does; eval chunks are
     # scanline-ordered already). A transpose costs <1 ms vs ~28 ms for a
     # Morton argsort + scatter at this N.
+    assert settings.block_sc >= 1, (
+        f"block_sc must be a positive power of two, got {settings.block_sc}"
+    )
     sc = settings.block_sc
     while s % sc:
         sc //= 2
@@ -845,9 +842,12 @@ def _gated_shading(
             pc_sel, centroids_c, mesh.face_perm, interpret=not on_tpu
         )
     elif settings.knn_impl == "grouped" and mesh.cluster_table is not None:
-        gsz = 4 if k % 4 == 0 else (2 if k % 2 == 0 else 1)
+        # groups of 1: the selected samples arrive in WEIGHT order, so
+        # consecutive entries can straddle surfaces several cm apart (a ray
+        # grazing two body parts) — the grouped search's shared-candidate
+        # assumption only holds for spatially adjacent members
         cidx = nearest_face_grouped(
-            pc_sel.reshape(-1, gsz, 3), centroids_c, mesh.cluster_table
+            pc_sel.reshape(-1, 1, 3), centroids_c, mesh.cluster_table
         ).reshape(r * k)
     else:
         cidx = nearest_face(
