@@ -92,7 +92,7 @@ def main(argv=None):
         return val(val_set, renderer, os.path.join(output_dir, "vis"), epoch)
 
     state = do_train(
-        cfg, model, train_set, val_set, faces, writer, logger,
+        cfg, model, train_set, faces, writer, logger,
         output_dir=output_dir, psnr_thres=args.psnr_thres,
         resume=True,
         val_fn=val_fn,

@@ -75,12 +75,37 @@ def ssim(
 
 def ssim_metric(rgb_pred: np.ndarray, rgb_gt: np.ndarray, mask_at_box: np.ndarray) -> float:
     """Reference protocol (`metrics.py:23-38`): zero outside mask, crop to
-    the mask bounding rect, then SSIM."""
+    the mask bounding rect, then SSIM.
+
+    data_range=2.0 reproduces the reference's numbers exactly: it calls the
+    old `skimage.measure.compare_ssim` on float64 images with no data_range,
+    and skimage's dtype_range for floats is (-1, 1) -> range 2 — a known
+    quirk shared by the NeRF-papers' evaluation scripts. (The mathematically
+    "right" unit-range value would report systematically lower SSIM.)
+    """
     H, W = rgb_gt.shape[:2]
     mask = np.asarray(mask_at_box).reshape(H, W).astype(bool)
+    if not mask.any():
+        # nothing rendered and nothing expected: identical all-zero images
+        # (the reference crashes here — cv2.blur on a 0-size crop)
+        return 1.0
     img_pred = np.zeros((H, W, 3))
     img_pred[mask] = np.asarray(rgb_pred)[mask]
     img_gt = np.zeros((H, W, 3))
     img_gt[mask] = np.asarray(rgb_gt)[mask]
     x, y, w, h = cv2.boundingRect(mask.astype(np.uint8))
-    return ssim(img_pred[y : y + h, x : x + w], img_gt[y : y + h, x : x + w])
+    # a bounding rect narrower than the 7x7 SSIM window (subject clipped at
+    # the frame edge / very distant) leaves no interior pixels after the
+    # edge crop and the mean would be NaN; widen within image bounds
+    win = 7
+    if w < win:
+        x = max(0, min(x - (win - w) // 2, W - win))
+        w = min(win, W)
+    if h < win:
+        y = max(0, min(y - (win - h) // 2, H - win))
+        h = min(win, H)
+    return ssim(
+        img_pred[y : y + h, x : x + w],
+        img_gt[y : y + h, x : x + w],
+        data_range=2.0,
+    )

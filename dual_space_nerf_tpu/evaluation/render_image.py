@@ -15,12 +15,44 @@ collective behind the replicated outputs).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.batching import item_to_mesh, iter_ray_chunks
 from ..renderer import LightState, RayBatch, RenderSettings, render_rays
+
+
+@functools.lru_cache(maxsize=16)
+def _chunk_render_fn(model, settings: RenderSettings, mesh_devices: Mesh | None):
+    """One compiled render-chunk executable per (model, settings, mesh).
+
+    jax.jit caches on function-object identity, so a closure built inside
+    ImageRenderer.__init__ would recompile the whole eval graph for every
+    renderer instance — e.g. each 40-epoch validation in cli/train.py.
+    Caching the jitted callable here makes repeat construction free (model
+    and RenderSettings are frozen dataclasses, Mesh is hashable)."""
+
+    def _render(params, rays, mesh, light):
+        return render_rays(
+            params, model, rays, mesh, settings, light, None, train=False
+        )
+
+    if mesh_devices is None:
+        return jax.jit(_render)
+    rep = NamedSharding(mesh_devices, P())
+    ray = NamedSharding(mesh_devices, P("rays"))
+    ray_shardings = RayBatch(
+        ray_o=ray, ray_d=ray, near=ray, far=ray,
+        frame=rep, body_pose=rep,
+    )
+    return jax.jit(
+        _render,
+        in_shardings=(rep, ray_shardings, rep, rep),
+        out_shardings=rep,
+    )
 
 
 class ImageRenderer:
@@ -43,26 +75,7 @@ class ImageRenderer:
             n_dev = mesh_devices.devices.size
             chunk = -(-chunk // n_dev) * n_dev  # ray axis must split evenly
         self.chunk = chunk
-
-        def _render(params, rays, mesh, light):
-            return render_rays(
-                params, model, rays, mesh, settings, light, None, train=False
-            )
-
-        if mesh_devices is None:
-            self._render_chunk = jax.jit(_render)
-        else:
-            rep = NamedSharding(mesh_devices, P())
-            ray = NamedSharding(mesh_devices, P("rays"))
-            ray_shardings = RayBatch(
-                ray_o=ray, ray_d=ray, near=ray, far=ray,
-                frame=rep, body_pose=rep,
-            )
-            self._render_chunk = jax.jit(
-                _render,
-                in_shardings=(rep, ray_shardings, rep, rep),
-                out_shardings=rep,
-            )
+        self._render_chunk = _chunk_render_fn(model, settings, mesh_devices)
 
     def render_item(
         self,
@@ -87,26 +100,24 @@ class ImageRenderer:
         H, W = item["img"].shape[:2]
         mask = np.asarray(item["mask_at_box"]).reshape(-1).astype(bool)
 
-        def scatter(vals: np.ndarray, c: int) -> np.ndarray:
+        def scatter(key: str, c: int) -> np.ndarray:
             canvas = np.zeros((H * W, c), np.float32)
-            canvas[mask] = vals.reshape(-1, c)
+            if parts[key]:  # zero AABB-hitting rays -> background canvas
+                canvas[mask] = np.concatenate(parts[key]).reshape(-1, c)
             return canvas.reshape(H, W, c)
 
         out_images = {
-            "coarse_color": scatter(np.concatenate(parts["color"]), 3),
-            "coarse_disp": scatter(np.concatenate(parts["disp_map"])[:, None], 1),
-            "coarse_acc": scatter(np.concatenate(parts["acc_map"])[:, None], 1),
-            "coarse_depth": scatter(np.concatenate(parts["depth_map"])[:, None], 1),
+            "coarse_color": scatter("color", 3),
+            "coarse_disp": scatter("disp_map", 1),
+            "coarse_acc": scatter("acc_map", 1),
+            "coarse_depth": scatter("depth_map", 1),
         }
         if self.settings.n_fine > 0:
             out_images.update({
-                "fine_color": scatter(np.concatenate(parts["fine_color"]), 3),
-                "fine_acc": scatter(
-                    np.concatenate(parts["fine_acc_map"])[:, None], 1
-                ),
-                "fine_depth": scatter(
-                    np.concatenate(parts["fine_depth_map"])[:, None], 1
-                ),
+                "fine_color": scatter("fine_color", 3),
+                "fine_disp": scatter("fine_disp_map", 1),
+                "fine_acc": scatter("fine_acc_map", 1),
+                "fine_depth": scatter("fine_depth_map", 1),
             })
         return out_images
 

@@ -28,7 +28,6 @@ def do_train(
     cfg,
     model,
     train_set,
-    val_set,
     faces: np.ndarray,
     writer,
     logger,
@@ -45,10 +44,17 @@ def do_train(
     state = create_train_state(model, tx, jax.random.key(233))
     nrays = cfg.SOLVER.TRAIN_NRAYS
 
+    # resolve the effective epoch count BEFORE building the periodic
+    # checkpointer: its final-epoch save clause must fire at the epoch the
+    # run actually ends on, not cfg.SOLVER.MAX_EPOCHS (a `--max_epochs 100`
+    # run with the shipped CHECKPOINT_PERIOD=3000 would otherwise finish
+    # without ever writing a checkpoint)
+    max_epochs = max_epochs or cfg.SOLVER.MAX_EPOCHS
+
     checkpointer = Checkpointer(output_dir)
     state, resume_epoch = checkpointer.resume_or_load("", state, resume=resume)
     periodic = PeriodicCheckpointer(
-        checkpointer, cfg.SOLVER.CHECKPOINT_PERIOD, cfg.SOLVER.MAX_EPOCHS
+        checkpointer, cfg.SOLVER.CHECKPOINT_PERIOD, max_epochs
     )
 
     step_fn = make_train_step(
@@ -60,7 +66,6 @@ def do_train(
     verts_cano = train_set.canonical_vertex
     log_period = cfg.SOLVER.LOG_PERIOD
     rng = jax.random.key(233)
-    max_epochs = max_epochs or cfg.SOLVER.MAX_EPOCHS
 
     # batch conversion (pixel sort, padding, device puts) runs inside the
     # prefetch workers so host prep overlaps the device step
@@ -86,6 +91,7 @@ def do_train(
         psnr_monitor = []
         epoch_start = time.time()
         iters_start = epoch_start
+        last_log_bidx = -1  # rays/s uses the true step count since last log
         pending = None  # (metrics, step) — read one step late to overlap
 
         for batch_idx, (batch, geom) in enumerate(loader):
@@ -104,11 +110,19 @@ def do_train(
                             writer.add_scalar(f"Loss/{key}", float(v), gstep)
                     writer.add_scalar("Loss/loss_sum", float(m["loss"]), gstep)
                     writer.add_scalar("TrainPsnr", psnr_v, gstep)
+                    # lr_fn(gstep) is the NEXT update's LR — identical to
+                    # the reference's `scheduler.get_lr()` read after
+                    # `scheduler.step()` (`trainer.py:81,91`)
                     writer.add_scalar("LR", float(lr_fn(gstep)), gstep)
                 if bidx % log_period == 0:
                     dt = time.time() - iters_start
                     iters_start = time.time()
-                    rays_per_s = log_period * nrays / max(dt, 1e-9)
+                    # actual steps elapsed, not log_period: the first line
+                    # of an epoch covers one step (the reference's formula,
+                    # `trainer.py:105-107`, overstates it log_period-fold)
+                    steps = bidx - last_log_bidx
+                    last_log_bidx = bidx
+                    rays_per_s = steps * nrays / max(dt, 1e-9)
                     logger.info(
                         "Epoch[%d] Iteration[%d/%d] Loss: %.3e Psnr: %.2f "
                         "Lr: %.2e Speed: %.1f[rays/s]",

@@ -34,7 +34,12 @@ def reference_schedule(
 
 
 def make_optimizer(cfg) -> tuple[optax.GradientTransformation, object]:
-    """Adam (+ optional decoupled weight decay) with the reference schedule.
+    """Adam (+ optional COUPLED weight decay) with the reference schedule.
+
+    torch's `Adam(weight_decay=wd)` (`solver/build.py:11`) adds wd*param to
+    the gradient BEFORE the adaptive moments — coupled L2, not AdamW's
+    decoupled decay — so the equivalent here is add_decayed_weights ahead
+    of the Adam transform, not optax.adamw.
 
     Returns (tx, schedule) — the schedule is also exposed so the train loop
     can log the current LR like `trainer.py:91`.
@@ -51,10 +56,9 @@ def make_optimizer(cfg) -> tuple[optax.GradientTransformation, object]:
         return base_lr * sched(step)
 
     if cfg.SOLVER.WEIGHT_DECAY > 0:
-        tx = optax.adamw(
-            learning_rate=lr,
-            weight_decay=cfg.SOLVER.WEIGHT_DECAY,
-            eps=1e-8,
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY),
+            optax.adam(learning_rate=lr, eps=1e-8),
         )
     else:
         tx = optax.adam(learning_rate=lr, eps=1e-8)

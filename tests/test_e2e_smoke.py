@@ -50,7 +50,7 @@ def test_cli_train_eval_roundtrip(tiny_cfg, tmp_path):
     logger = setup_logger("test_e2e", out_dir)
 
     state = do_train(
-        cfg, model, train_set, val_set, faces, writer, logger,
+        cfg, model, train_set, faces, writer, logger,
         output_dir=out_dir, resume=True,
     )
     assert int(state.step) == 2 * len(train_set)  # epochs 1..2 ran
@@ -61,7 +61,7 @@ def test_cli_train_eval_roundtrip(tiny_cfg, tmp_path):
 
     # resume: a fresh do_train continues rather than restarting
     state2 = do_train(
-        cfg, model, train_set, val_set, faces, writer, logger,
+        cfg, model, train_set, faces, writer, logger,
         output_dir=out_dir, resume=True, max_epochs=4,
     )
     assert int(state2.step) > int(state.step)

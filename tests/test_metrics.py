@@ -48,3 +48,39 @@ def test_ssim_metric_protocol(rng_np):
     mask[10:30, 12:40] = True
     val = ssim_metric(pred, pred.copy(), mask)
     np.testing.assert_allclose(val, 1.0, atol=1e-9)
+
+
+def test_ssim_metric_uses_reference_data_range(rng_np):
+    """The reference's compare_ssim call on float images uses skimage's
+    float dtype_range (-1, 1) -> data_range 2 (`metrics.py:38`); ssim_metric
+    must reproduce that, not the unit-range value."""
+    import cv2
+
+    img = rng_np.random((32, 32, 3))
+    noisy = np.clip(img + 0.1 * rng_np.standard_normal(img.shape), 0, 1)
+    mask = np.zeros((32, 32), bool)
+    mask[4:28, 6:30] = True
+    got = ssim_metric(img, noisy, mask)
+
+    zp = np.zeros_like(img)
+    zp[mask] = img[mask]
+    zg = np.zeros_like(noisy)
+    zg[mask] = noisy[mask]
+    x, y, w, h = cv2.boundingRect(mask.astype(np.uint8))
+    want2 = ssim(zp[y:y + h, x:x + w], zg[y:y + h, x:x + w], data_range=2.0)
+    want1 = ssim(zp[y:y + h, x:x + w], zg[y:y + h, x:x + w], data_range=1.0)
+    np.testing.assert_allclose(got, want2, atol=1e-12)
+    assert abs(got - want1) > 1e-4  # the ranges genuinely differ
+
+
+def test_ssim_metric_degenerate_masks(rng_np):
+    """Empty masks and bounding rects narrower than the 7x7 window must
+    return finite values (the reference crashes / NaNs here)."""
+    img = rng_np.random((32, 32, 3))
+    empty = np.zeros((32, 32), bool)
+    assert ssim_metric(img, img, empty) == 1.0
+
+    tiny = np.zeros((32, 32), bool)
+    tiny[10:13, 0:2] = True  # 3x2 rect at the image edge
+    val = ssim_metric(img, img.copy(), tiny)
+    assert np.isfinite(val)

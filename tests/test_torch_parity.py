@@ -190,3 +190,49 @@ def test_compositing_parity(rng_np):
 
     np.testing.assert_allclose(np.asarray(out.weights), weights.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.rgb), rgb_map.numpy(), atol=1e-5)
+
+
+def test_coupled_weight_decay_matches_torch_adam():
+    """cfg.SOLVER.WEIGHT_DECAY routes through add_decayed_weights BEFORE the
+    Adam transform — torch `Adam(weight_decay=wd)` semantics
+    (`solver/build.py:11`: wd*param joins the gradient before the adaptive
+    moments), which optax.adamw's decoupled decay does NOT reproduce."""
+    import numpy as np
+    import optax
+    import torch
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    grads = [rng.standard_normal((4, 3)).astype(np.float32) for _ in range(4)]
+    wd, lr = 0.01, 1e-3
+
+    p = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.Adam([p], lr=lr, betas=(0.9, 0.999), eps=1e-8,
+                           weight_decay=wd)
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.tensor(g)
+        opt.step()
+
+    tx = optax.chain(
+        optax.add_decayed_weights(wd), optax.adam(lr, eps=1e-8)
+    )
+    params = {"w": jnp.asarray(w0)}
+    st = tx.init(params)
+    for g in grads:
+        upd, st = tx.update({"w": jnp.asarray(g)}, st, params)
+        params = optax.apply_updates(params, upd)
+
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), p.detach().numpy(), atol=2e-6
+    )
+
+    # and decoupled adamw genuinely diverges from torch Adam here
+    txw = optax.adamw(lr, weight_decay=wd, eps=1e-8)
+    pw = {"w": jnp.asarray(w0)}
+    stw = txw.init(pw)
+    for g in grads:
+        upd, stw = txw.update({"w": jnp.asarray(g)}, stw, pw)
+        pw = optax.apply_updates(pw, upd)
+    assert np.abs(np.asarray(pw["w"]) - p.detach().numpy()).max() > 1e-6
