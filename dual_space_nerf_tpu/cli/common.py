@@ -22,6 +22,13 @@ def load_cfg(config_path: str):
     return cfg
 
 
+def epoch_from_ckpt(ckpt_path: str) -> int:
+    """Epoch number from a `model_epoch_%07d.ckpt` filename; 0 for names
+    with no numeric tail (e.g. a hand-renamed `best.ckpt`)."""
+    tail = os.path.basename(ckpt_path).split(".")[0].split("_")[-1]
+    return int(tail) if tail.isdigit() else 0
+
+
 def build_model(cfg) -> DualSpaceNeRF:
     import jax.numpy as jnp
 

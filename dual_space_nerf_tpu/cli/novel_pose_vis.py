@@ -101,10 +101,10 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
-    from .common import eval_settings, load_cfg, load_faces, load_render_state
+    from .common import epoch_from_ckpt, eval_settings, load_cfg, load_faces, load_render_state
 
     cfg = load_cfg(args.config)
-    epoch = int(os.path.basename(args.ckpt).split(".")[0].split("_")[-1])
+    epoch = epoch_from_ckpt(args.ckpt)
     save_dir = os.path.join("./motion_transfer", args.exp)
 
     zju_dir = os.environ.get("DSNERF_ZJU_PATH", cfg.DATASETS.ZJU_MOCAP_PATH)

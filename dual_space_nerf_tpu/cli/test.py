@@ -95,10 +95,10 @@ def main(argv=None):
 
     from ..data import select_dataset
     from ..parallel import local_ray_mesh
-    from .common import eval_settings, load_cfg, load_faces, load_render_state
+    from .common import epoch_from_ckpt, eval_settings, load_cfg, load_faces, load_render_state
 
     cfg = load_cfg(args.config)
-    epoch = int(os.path.basename(args.ckpt).split(".")[0].split("_")[-1])
+    epoch = epoch_from_ckpt(args.ckpt)
     save_dir = os.path.join("./TEST", args.exp)
 
     novel_view_set, novel_pose_set = select_dataset(cfg, formal_test=True)

@@ -80,7 +80,7 @@ def main(argv=None):
 
     from ..data import select_dataset
     from ..parallel import local_ray_mesh
-    from .common import eval_settings, load_cfg, load_faces, load_render_state
+    from .common import epoch_from_ckpt, eval_settings, load_cfg, load_faces, load_render_state
 
     cfg = load_cfg(args.config)
     _, val_set = select_dataset(cfg, train_nrays=cfg.SOLVER.TRAIN_NRAYS)
@@ -91,7 +91,7 @@ def main(argv=None):
         chunk=cfg.TEST.RAY_CHUNK,
         mesh_devices=local_ray_mesh() if args.data_parallel else None,
     )
-    epoch = int(os.path.basename(args.ckpt).split(".")[0].split("_")[-1])
+    epoch = epoch_from_ckpt(args.ckpt)
     return val(
         val_set, renderer, f"EXP/{args.exp}/vis", epoch,
         fixed_frame=min(50, cfg.MODEL.MAX_FRAMES - 1),

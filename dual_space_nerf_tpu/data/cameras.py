@@ -125,21 +125,22 @@ def load_cam(ann_file: str) -> dict:
         annots = np.load(ann_file, allow_pickle=True).item()
         cams = annots["cams"]
 
-    lower_row = np.array([[0.0, 0.0, 0.0, 1.0]])
     ret = {}
     for i in range(len(cams["K"])):
         t = i + 1
         if t in (20, 21):
             t += 2
+        k = np.array(cams["K"][i])
         r = np.array(cams["R"][i])
         tv = np.array(cams["T"][i]) / 1000.0
+        rt = np.concatenate([r, tv], 1)  # 3x4, same schema as read_camera
         ret[f"Camera ({t})"] = {
-            "K": np.array(cams["K"][i]),
+            "K": k,
+            "invK": np.linalg.inv(k),
             "R": r,
             "T": tv,
-            "RT": np.concatenate(
-                [np.concatenate([r, tv], 1), lower_row], 0
-            ),
+            "RT": rt,
+            "P": k @ rt,
             "dist": np.array(cams["D"][i]).reshape(1, 5),
         }
     return ret

@@ -229,12 +229,15 @@ class H36M:
         occupancy = (orig_msk_c != 0).astype(np.uint8)[coord[:, 0], coord[:, 1]]
 
         n_train_frame = getattr(self.cfg, "num_train_frame", 1)
+        # the reference's frame-embedding index for EVERY split is
+        # latent_index = index // num_cams, clamped to the last trained row
+        # for novel pose (`h36m_dataset.py:234-236`,
+        # `h36m_dataset_test.py:224-226`) — NOT frame_index/i_intv, which
+        # would skip embedding rows whenever begin_ith_frame > 0
         latent_index = index // self.num_cams
         if self.test_novel_pose:
             latent_index = n_train_frame - 1
-        frame = frame_index // self.i_intv
-        if self.split != "train":
-            frame = int(self.rng.integers(0, n_train_frame))
+        frame = latent_index
 
         return {
             "img": img,

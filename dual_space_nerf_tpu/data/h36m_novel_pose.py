@@ -106,12 +106,11 @@ class H36MNovelPoses(H36M):
 def get_novel_pose_dataset(performer, motion_seq, zju_data_dir, h36m_data_dir):
     """`utils`-style factory (reference :232-246): data_configs/novel_poses/
     {performer}_{motion_seq}.yml configures the pairing."""
-    rel = f"data_configs/novel_poses/{performer}_{motion_seq}.yml"
-    yaml_path = rel  # relative to CWD first (reference behavior)
-    if not os.path.exists(yaml_path):
-        yaml_path = os.path.normpath(
-            os.path.join(os.path.dirname(__file__), "..", "..", rel)
-        )
+    from .select import resolve_data_config
+
+    yaml_path = resolve_data_config(
+        f"data_configs/novel_poses/{performer}_{motion_seq}.yml"
+    )
     with open(yaml_path, "r", encoding="utf-8") as f:
         data_config = yaml.safe_load(f.read())
     mycfg = set_my_cfg(MyCfg(), data_config)

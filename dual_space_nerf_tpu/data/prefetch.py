@@ -59,6 +59,8 @@ class PrefetchLoader:
         n_alive = threading.Semaphore(0)
         stop = threading.Event()
 
+        error: list = [None]  # (index, exception) from a failed worker
+
         def worker():
             try:
                 while not stop.is_set():
@@ -66,9 +68,18 @@ class PrefetchLoader:
                         i = idx_q.get_nowait()
                     except queue.Empty:
                         return
-                    item = self.dataset[i]
-                    if self.transform is not None:
-                        item = self.transform(item)
+                    try:
+                        item = self.dataset[i]
+                        if self.transform is not None:
+                            item = self.transform(item)
+                    except BaseException as exc:
+                        # a corrupt item must fail the epoch loudly, not
+                        # silently drop the item and one worker forever;
+                        # stopping here drains the pool, the closer posts
+                        # the sentinel, and the consumer re-raises below
+                        error[0] = (i, exc)
+                        stop.set()
+                        return
                     while not stop.is_set():
                         try:
                             out_q.put(item, timeout=0.1)
@@ -88,7 +99,13 @@ class PrefetchLoader:
         def closer():
             for _ in workers:
                 n_alive.acquire()
-            while not stop.is_set():
+            # a worker error sets `stop` but the consumer is still blocked
+            # on get() — the sentinel must be delivered then; when instead
+            # the CONSUMER set `stop` (abandoned iterator) nobody reads, so
+            # bounded retries keep this daemon thread from spinning forever
+            attempts = 0
+            while not stop.is_set() or (error[0] is not None and attempts < 600):
+                attempts += 1
                 try:
                     out_q.put(_SENTINEL, timeout=0.1)
                     return
@@ -101,6 +118,11 @@ class PrefetchLoader:
             while True:
                 item = out_q.get()
                 if item is _SENTINEL:
+                    if error[0] is not None:
+                        i, exc = error[0]
+                        raise RuntimeError(
+                            f"prefetch worker failed on dataset[{i}]"
+                        ) from exc
                     return
                 yield item
         finally:

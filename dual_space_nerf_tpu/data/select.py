@@ -38,13 +38,20 @@ def load_yml_as_cfg(yml_path: str) -> MyCfg:
         return set_my_cfg(MyCfg(), yaml.safe_load(f.read()))
 
 
-def _data_config_path(cfg) -> str:
-    # relative to CWD first (reference behavior), then repo root
-    rel = f"data_configs/{cfg.DATASETS.TYPE}/{cfg.DATASETS.HUMAN}.yml"
+def resolve_data_config(rel: str) -> str:
+    """Resolve a data_configs/... path: CWD-relative first (reference
+    behavior), then the repo root. Shared with the motion-transfer path
+    (`h36m_novel_pose.get_novel_pose_dataset`)."""
     if os.path.exists(rel):
         return rel
     here = os.path.join(os.path.dirname(__file__), "..", "..", rel)
     return os.path.normpath(here)
+
+
+def _data_config_path(cfg) -> str:
+    return resolve_data_config(
+        f"data_configs/{cfg.DATASETS.TYPE}/{cfg.DATASETS.HUMAN}.yml"
+    )
 
 
 def select_dataset(cfg, train_nrays=2000, formal_test=False):

@@ -35,8 +35,12 @@ def splat_image(scene: SyntheticScene, h: int, w: int, radius: int = 2):
         for dx in range(-radius, radius + 1):
             yy = np.clip(ys + dy, 0, h - 1)
             xx = np.clip(xs + dx, 0, w - 1)
-            img[yy, xx] = colors[order]
-            zbuf[yy, xx] = z[order]
+            # depth-test against the buffer: without it a far vertex in a
+            # later offset iteration overwrites a near vertex's pixel from
+            # an earlier one (back-surface speckle on the front surface)
+            win = z[order] <= zbuf[yy, xx]
+            img[yy[win], xx[win]] = colors[order][win]
+            zbuf[yy[win], xx[win]] = z[order][win]
     mask = (zbuf < np.inf).astype(np.uint8)
     img *= mask[..., None]
     return img, mask

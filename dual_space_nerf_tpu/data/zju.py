@@ -86,6 +86,10 @@ class MocapBase:
         )
         kernel = np.ones((5, 5), np.uint8)
         msk_fg = cv2.dilate(msk_fg, kernel)
+        # msk_cihp is deliberately NOT undistorted — the reference returns
+        # it raw (`zju_mocap_dataset.py:196-213`) and samples body/face
+        # pixels from it while reading rgb from the undistorted image; its
+        # shipped checkpoints were trained with exactly this mismatch.
         return msk_fg[..., None], msk_cihp[..., None]
 
     def prepare_input(self, i: int):
@@ -194,9 +198,12 @@ class MocapBase:
         return [p for p in paths if begin <= self._frame_of(p) <= end]
 
     def _sorted_by_frame(self, paths: list[str]) -> list[str]:
-        if self.human in _ANNOT_SUBJECTS:
-            return sorted(paths, key=lambda name: int(name.split("_")[6]))
-        return sorted(paths, key=lambda name: int(name.split("/")[-1][:-4]))
+        # frame-ascending order. The reference sorts by underscore-token 6
+        # of the FULL path (`zju_mocap_dataset.py:290`), which is the frame
+        # field only when its data root contains exactly one underscore;
+        # parsing the basename (like _raw_frame_name) keeps the same order
+        # for any data_dir.
+        return sorted(paths, key=self._raw_frame_name)
 
 
 class Mocap(MocapBase):

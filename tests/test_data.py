@@ -277,3 +277,21 @@ def test_undistorter_bitwise():
     np.testing.assert_array_equal(
         ud(img_u8, K, D.reshape(1, 5)), cv2.undistort(img_u8, K, D)
     )
+
+
+def test_prefetch_worker_error_propagates():
+    """A corrupt item must fail the epoch loudly — not be silently dropped
+    with one worker dead for the rest of the run."""
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("corrupt item")
+            return i
+
+    loader = PrefetchLoader(Bad(), shuffle=False, num_workers=2, seed=0)
+    with pytest.raises(RuntimeError, match=r"dataset\[5\]"):
+        for _ in loader:
+            pass
