@@ -9,6 +9,7 @@ merge (`merge_from_file`), dotted-list merge (`merge_from_list`),
 
 from __future__ import annotations
 
+import ast
 import copy
 from typing import Any
 
@@ -118,12 +119,17 @@ class CfgNode(dict):
 
 
 def _coerce(value: Any, old: Any) -> Any:
-    """Coerce a CLI-string override to the type of the existing value."""
+    """Coerce a CLI-string override to the type of the existing value.
+
+    Like yacs (`yacs/config.py _decode_cfg_value`): ast.literal_eval, not
+    yaml — PyYAML's float resolver rejects bare scientific notation
+    ('5e-4' would stay a string and raise TypeError against a float slot)
+    and its 1.1 bool resolver turns 'NO'/'on' into bools."""
     if isinstance(value, str):
         try:
-            value = yaml.safe_load(value)
-        except yaml.YAMLError:
-            pass
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass  # genuine string override
     return _check_type(value, old, "<cli>")
 
 

@@ -84,8 +84,9 @@ def barycentric_map(
     """
     v2 = tris[..., 2, :] - tris[..., 0, :]
     v1 = tris[..., 1, :] - tris[..., 0, :]
-    n = jnp.cross(v1, v2)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), _EPS_NORM)
+    # same edge order + eps as project_point2mesh — the pair must stay an
+    # exact inverse, so the normal comes from the one shared helper
+    n = triangle_normal(tris)
     pts_proj = (
         tris[..., 0, :] + uv[..., 0:1] * v2 + uv[..., 1:2] * v1
     )

@@ -196,7 +196,11 @@ class DualSpaceNeRF(nn.Module):
         )
 
     def frame_code(self, frame: jnp.ndarray) -> jnp.ndarray:
-        """Embedding row for one scalar frame index (clamped)."""
+        """Embedding row for one scalar frame index (clamped); a zero-width
+        code when the model is configured without one (CODE_DIM=0 creates
+        no embedding table)."""
+        if self.code_dim <= 0:
+            return jnp.zeros((0,), jnp.float32)
         idx = jnp.clip(frame, 0, self.max_frames - 1)
         return self.nerf.embedding(idx[None])[0]
 

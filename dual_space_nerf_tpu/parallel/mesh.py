@@ -29,7 +29,9 @@ def local_ray_mesh(n: int | None = None) -> Mesh | None:
     unsharded step is cheaper than a degenerate mesh)."""
     import jax
 
-    devs = jax.devices()
+    # local, not global: on a multi-process slice jax.devices() spans all
+    # hosts and a mesh over non-addressable devices breaks the jitted step
+    devs = jax.local_devices()
     if n is not None:
         devs = devs[:n]
     if len(devs) <= 1:

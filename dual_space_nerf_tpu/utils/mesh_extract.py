@@ -80,11 +80,13 @@ def marching_tetrahedra(
         axis=-1,
     ).reshape(-1, 3)                                            # (C, 3)
 
-    corner_idx = base[:, None, :] + _CORNER_OFFSETS[None]       # (C, 8, 3)
-    vals = grid[
-        corner_idx[..., 0], corner_idx[..., 1], corner_idx[..., 2]
-    ]                                                           # (C, 8)
-    pos = (origin + corner_idx * spacing).astype(np.float64)    # (C, 8, 3)
+    # corner values through shifted grid views — no (C, 8, 3) index tensor;
+    # only this (C, 8) array stays resident across the whole extraction
+    n_cells = cx * cy * cz
+    vals = np.empty((n_cells, 8), grid.dtype)
+    for c in range(8):
+        ox, oy, oz = _CORNER_OFFSETS[c]
+        vals[:, c] = grid[ox : ox + cx, oy : oy + cy, oz : oz + cz].reshape(-1)
 
     # The 6-tet split of a cube is not face-consistent with its neighbors;
     # mirroring the corner labeling on odd-parity cells (c -> c ^ 7, a
@@ -92,16 +94,11 @@ def marching_tetrahedra(
     # crack-free.
     parity = base.sum(axis=1) % 2                               # (C,)
     flip = parity == 1
-    vals_e, pos_e = vals, pos
-    vals_o = vals[:, [c ^ 7 for c in range(8)]]
-    pos_o = pos[:, [c ^ 7 for c in range(8)]]
-    vals = np.where(flip[:, None], vals_o, vals_e)
-    pos = np.where(flip[:, None, None], pos_o, pos_e)
+    vals[flip] = vals[flip][:, [c ^ 7 for c in range(8)]]
 
     all_tris = []
     for tet in _TETS:
         tv = vals[:, tet]                                       # (C, 4)
-        tp = pos[:, tet]                                        # (C, 4, 3)
         inside = tv > level
         mask = (
             inside[:, 0].astype(np.int64)
@@ -109,12 +106,22 @@ def marching_tetrahedra(
             | (inside[:, 2] << 2)
             | (inside[:, 3] << 3)
         )
+        # bucket cells by case with ONE sort instead of 14 full-grid scans
+        order = np.argsort(mask, kind="stable")
+        bounds = np.searchsorted(mask[order], np.arange(17))
         for case in range(1, 15):
-            sel = np.where(mask == case)[0]
+            sel = order[bounds[case] : bounds[case + 1]]
             if len(sel) == 0:
                 continue
             sv = tv[sel]
-            sp = tp[sel]
+            sel_flip = flip[sel]
+            # corner positions on demand for the selected cells only; the
+            # mirrored labeling's offset is the reflection 1 - offset
+            off = np.broadcast_to(
+                _CORNER_OFFSETS[list(tet)][None], (len(sel), 4, 3)
+            )
+            off = np.where(sel_flip[:, None, None], 1 - off, off)
+            sp = origin + (base[sel][:, None, :] + off) * spacing
             # interpolated crossing point on each tet edge
             edge_pts = np.empty((len(sel), 6, 3))
             for ei, (a, b) in enumerate(_TET_EDGES):
@@ -123,12 +130,22 @@ def marching_tetrahedra(
                 denom = np.where(np.abs(vb - va) < 1e-12, 1e-12, vb - va)
                 t = np.clip((level - va) / denom, 0.0, 1.0)
                 edge_pts[:, ei] = sp[:, a] + t[:, None] * (sp[:, b] - sp[:, a])
+            # outward direction: from the inside corners' centroid toward
+            # the outside corners' — used to orient every emitted triangle
+            # (the derived case table and the 6-tet split carry no
+            # consistent handedness of their own; without this, half the
+            # faces come out inward and viewers cull them)
+            ins = [v for v in range(4) if case >> v & 1]
+            outs = [v for v in range(4) if not case >> v & 1]
+            outdir = sp[:, outs].mean(1) - sp[:, ins].mean(1)
             for (e0, e1, e2) in _CASES[case]:
-                all_tris.append(
-                    np.stack(
-                        [edge_pts[:, e0], edge_pts[:, e1], edge_pts[:, e2]], 1
-                    )
+                tri = np.stack(
+                    [edge_pts[:, e0], edge_pts[:, e1], edge_pts[:, e2]], 1
                 )
+                nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+                swap = (nrm * outdir).sum(-1) < 0
+                tri[swap] = tri[swap][:, ::-1]
+                all_tris.append(tri)
 
     if not all_tris:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)

@@ -51,3 +51,20 @@ def test_save_obj(tmp_path):
     lines = open(path).read().splitlines()
     assert sum(1 for l in lines if l.startswith("v ")) == len(verts)
     assert sum(1 for l in lines if l.startswith("f ")) == len(faces)
+
+
+def test_winding_is_outward_consistent():
+    """Every emitted face must wind outward (mixed winding renders with
+    backface-culling holes); regression for the unoriented case table."""
+    n = 20
+    g = np.linspace(-1, 1, n)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    field = 1.0 - np.sqrt(X**2 + Y**2 + Z**2)
+    verts, faces = marching_tetrahedra(
+        field, 0.4, origin=np.array([-1.0, -1, -1]),
+        spacing=np.full(3, 2 / (n - 1)),
+    )
+    tri = verts[faces]
+    nrm = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    dots = (nrm * tri.mean(1)).sum(1)  # sphere: outward aligns with radius
+    assert (dots > 0).all()
