@@ -69,11 +69,11 @@ if __name__ == "__main__":
     eye = (-scene.R.T @ scene.T).ravel()
     targets = scene.verts_world[rng.integers(0, len(scene.verts_world), NRAYS)]
     targets = targets + 0.03 * rng.standard_normal((NRAYS, 3))
-    key = (
-        (targets[:, 0] * 8).astype(int) * 4096
-        + (targets[:, 1] * 8).astype(int) * 64
-        + (targets[:, 2] * 8).astype(int)
-    )
+    # floor, not astype(int): truncation toward zero would merge the
+    # [-0.125, 0.125) band into one double-width bucket per axis, giving
+    # the isolated KNN rows a layout real batches never produce
+    b = np.floor(targets * 8).astype(np.int64)
+    key = b[:, 0] * 4096 + b[:, 1] * 64 + b[:, 2]
     targets = targets[np.argsort(key)]
     d = (targets - eye).astype(np.float32)
     rays = RayBatch(
@@ -150,13 +150,10 @@ if __name__ == "__main__":
     print(f"GG near/far kernel      : {timeit(gg, iters=args.iters):8.2f} ms")
 
     # ---- finer breakdown of the non-KNN portion ----
-    import dual_space_nerf_tpu.renderer.pipeline as pl_mod
-    from dual_space_nerf_tpu.renderer import LightState
     from dual_space_nerf_tpu.renderer.pipeline import (
         _point_network,
         warp_world_to_canonical,
     )
-    from dual_space_nerf_tpu.models import DualSpaceNeRF
 
     variants = [
         (None, False, 512, "f32"),

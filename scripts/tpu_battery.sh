@@ -3,10 +3,11 @@
 # (SIGTERM mid-step wedges the axon remote executor). Results land in
 # EXP/tpu_battery_<ts>/.
 set -u
-ts=$(date -u +%H%M%S)
+ts=$(date -u +%Y%m%d_%H%M%S)
 out=EXP/tpu_battery_$ts
-mkdir -p "$out"
+# cd FIRST: $out is repo-relative, and every redirect below depends on it
 cd "$(dirname "$0")/.."
+mkdir -p "$out"
 
 run() {
   name=$1; shift

@@ -6,6 +6,12 @@ CI proves the fused kernels exact in interpret mode on CPU
 comparison with the Mosaic-compiled kernels on the real accelerator, where
 lowering bugs would hide. Prints max relative errors; exits nonzero above
 tolerance.
+
+Reading the result: the XLA reference is pinned to f32-HIGHEST matmuls, so
+a genuine lowering bug shows up as rel ~ O(1) garbage; a UNIFORM ~1e-2
+deviation across all outputs would instead mean Mosaic lowers the kernels'
+f32 dots through single-pass bf16 — a precision configuration to fix (add
+precision=HIGHEST to ops/fused_mlp._dot*), not a kernel bug.
 """
 
 from __future__ import annotations
@@ -24,6 +30,10 @@ if __name__ == "__main__":
     jax.config.update("jax_compilation_cache_dir", ".jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # the XLA reference path must run at f32-exact matmul precision: TPU
+    # DEFAULT runs Dense layers through one bf16 pass (~1e-2 deviations),
+    # which would fail the 1e-4 gate with no lowering bug present
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from dual_space_nerf_tpu.models import DualSpaceNeRF
     from dual_space_nerf_tpu.ops import fused_mlp as fm
@@ -66,7 +76,7 @@ if __name__ == "__main__":
             ],
             axis=1,
         )
-        return fm.fused_sigma_essence_normal(w, pe, cp, block=512)
+        return fm.fused_sigma_essence_normal(w, pe, cp, block=BLOCK)
 
     def loss(fn):
         def f(params, pts):
@@ -77,20 +87,29 @@ if __name__ == "__main__":
 
     ok = True
     r0 = jax.jit(ref_fn)(params, pts)
-    r1 = jax.jit(fused_fn)(params, pts)
-    for name, a, b in zip(["sigma", "essence", "normal"], r0, r1):
-        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-12))
-        print(f"{name:8s} maxrel={rel:.3e}")
-        ok &= rel < 1e-4
     g0 = jax.jit(jax.grad(loss(ref_fn), (0, 1)))(params, pts)
-    g1 = jax.jit(jax.grad(loss(fused_fn), (0, 1)))(params, pts)
-    worst = 0.0
-    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
-        rel = float(
-            jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-12)
+    # parity-check every block size the battery may pick as the default —
+    # a block-size-dependent Mosaic lowering bug must not pass the gate
+    for blk in (512, 1024, 2048):
+        BLOCK = blk  # module global read by fused_fn at trace time
+        r1 = jax.jit(fused_fn)(params, pts)
+        for name, a, b in zip(["sigma", "essence", "normal"], r0, r1):
+            rel = float(
+                jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-12)
+            )
+            print(f"block={blk:4d} {name:8s} maxrel={rel:.3e}")
+            ok &= rel < 1e-4
+        g1 = jax.jit(jax.grad(loss(fused_fn), (0, 1)))(params, pts)
+        worst = 0.0
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            rel = float(
+                jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-12)
+            )
+            worst = max(worst, rel)
+        print(
+            f"block={blk:4d} grads    maxrel={worst:.3e}  "
+            f"({len(jax.tree.leaves(g0))} leaves)"
         )
-        worst = max(worst, rel)
-    print(f"grads    maxrel={worst:.3e}  ({len(jax.tree.leaves(g0))} leaves)")
-    ok &= worst < 1e-3
+        ok &= worst < 1e-3
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
