@@ -193,3 +193,32 @@ if __name__ == "__main__":
         )[0]
     )
     print(f"warp math (KNN excluded)   : {timeit(warp, pts, iters=args.iters):8.2f} ms")
+
+    # ---- the "rest" bucket: compositing, selection, optimizer ----
+    import optax
+
+    from dual_space_nerf_tpu.geometry.compositing import composite
+
+    raw_rgb = jnp.asarray(rng.random((NRAYS, S, 3)), jnp.float32)
+    raw_sigma = jnp.asarray(rng.random((NRAYS, S)), jnp.float32)
+    z_vals = jnp.broadcast_to(jnp.linspace(0.5, 3.5, S), (NRAYS, S))
+    comp = jax.jit(
+        lambda: composite(raw_rgb, raw_sigma, z_vals, rays.ray_d).rgb
+    )
+    print(f"alpha compositing ({NRAYS}x{S}) : {timeit(comp, iters=args.iters):8.2f} ms")
+
+    topk = jax.jit(lambda w: jax.lax.top_k(w, 8))
+    print(f"top-k8 selection ({NRAYS}x{S})  : "
+          f"{timeit(topk, raw_sigma, iters=args.iters):8.2f} ms")
+
+    model = DualSpaceNeRF()
+    state = create_train_state(model, tx, jax.random.key(0))
+    grads = jax.tree.map(jnp.ones_like, state.params)
+
+    @jax.jit
+    def adam_only(params, opt_state):
+        upd, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), new_opt
+
+    print(f"Adam update (params only)  : "
+          f"{timeit(adam_only, state.params, state.opt_state, iters=args.iters):8.2f} ms")
