@@ -113,6 +113,8 @@ class MocapBase:
         Th = params["Th"]
         poses = params["poses"].reshape(-1, 3).copy()
         if self.use_x_pose:
+            # inverse of smpl.x_pose()'s +-0.6 rad leg spread — keep the
+            # two in sync or canonical assets and training poses diverge
             poses[1, 2] -= 0.6
             poses[2, 2] += 0.6
         return poses, xyz, world_bounds, Rh, Th

@@ -85,3 +85,53 @@ def test_pose_blendshapes_active(fake_smpl):
     m2.posedirs = np.zeros_like(m2.posedirs)
     verts_without, _ = m2.forward(pose)
     assert not np.allclose(verts_with, verts_without)
+
+
+def test_load_bodydata_official_pickle_formats(tmp_path):
+    """Official SMPL downloads store arrays as chumpy.Ch objects and the
+    J_regressor as scipy sparse; load_bodydata must read them without
+    chumpy installed (stub unpickler) and densify the regressor."""
+    import pickle
+    import sys
+    import types
+
+    import scipy.sparse as sp
+
+    from dual_space_nerf_tpu.data.smpl import load_bodydata
+
+    # fabricate a pickle that references chumpy.ch.Ch without having chumpy
+    chumpy = types.ModuleType("chumpy")
+    ch = types.ModuleType("chumpy.ch")
+
+    class Ch:
+        def __init__(self, x):
+            self.x = x
+            self.dirty = True  # extra state like the real class carries
+
+    Ch.__module__ = "chumpy.ch"
+    Ch.__qualname__ = "Ch"
+    ch.Ch = Ch
+    chumpy.ch = ch
+    sys.modules["chumpy"] = chumpy
+    sys.modules["chumpy.ch"] = ch
+    try:
+        data = {
+            "v_template": Ch(np.arange(12.0).reshape(4, 3)),
+            "J_regressor": sp.csc_matrix(np.eye(4)[:2]),
+            "f": np.array([[0, 1, 2]], np.int32),
+            "kintree_table": np.array([[-1, 0], [0, 1]]),
+            "weights": np.ones((4, 2), np.float32),
+        }
+        pkl = tmp_path / "SMPL_NEUTRAL.pkl"
+        with open(pkl, "wb") as f:
+            pickle.dump(data, f, protocol=2)
+    finally:
+        del sys.modules["chumpy"], sys.modules["chumpy.ch"]
+
+    out = load_bodydata(str(pkl))
+    np.testing.assert_array_equal(
+        out["v_template"], np.arange(12.0).reshape(4, 3)
+    )
+    assert isinstance(out["J_regressor"], np.ndarray)
+    np.testing.assert_array_equal(out["J_regressor"], np.eye(4)[:2])
+    np.testing.assert_array_equal(out["f"], data["f"])
