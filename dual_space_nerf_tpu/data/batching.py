@@ -1,13 +1,15 @@
 """Host item dict -> fixed-shape device batches.
 
-The device side is compiled for a single static ray count, so host items are
-padded (rays replicated from the front of the batch, which is harmless for
-training because losses are means over real rays only when pad_weight is
-applied — for simplicity we pad by WRAPPING, which keeps the loss unbiased in
-expectation since wrapped rays are real rays drawn by the same sampler).
+The device side is compiled for a single static ray count, so host items
+shorter than `nrays` are padded by WRAPPING (repeating rays from the start
+of the batch). Wrapped rays are real rays drawn by the same sampler, so the
+mean loss stays a mean over genuine supervision; ZJU/H36M items always
+arrive at exactly `nrays` (`sample_rays` asserts it), so this path only
+fires for ad-hoc callers.
 
 Eval images are rendered in fixed-size chunks: `iter_ray_chunks` pads the
-tail chunk by wrapping and the caller slices the valid prefix.
+tail chunk by repeating its last ray and the caller slices the valid
+prefix.
 """
 
 from __future__ import annotations
@@ -35,9 +37,13 @@ def _spatial_ray_order(item: dict) -> np.ndarray:
     together; spatially-sorted rays make those blocks tight. Host-side and
     O(R log R) on 5500 rays — free."""
     coord = np.asarray(item["coord"])
-    key = (coord[:, 0] // 16) * 4096 + (coord[:, 1] // 16) * 16 + (
-        coord[:, 0] % 16
-    )
+    # tile-row stride derived from the actual image width: a fixed 4096
+    # would alias pixel columns >= 4096 into later tile-row bands on wide
+    # images, quietly breaking the locality the KNN kernels block on
+    n_tile_cols = int(coord[:, 1].max()) // 16 + 1
+    key = (coord[:, 0] // 16) * (n_tile_cols * 16) + (
+        coord[:, 1] // 16
+    ) * 16 + (coord[:, 0] % 16)
     return np.argsort(key, kind="stable")
 
 
@@ -63,7 +69,9 @@ def item_to_train_batch(item: dict, nrays: int) -> TrainBatch:
     )
 
 
-_CLUSTER_CACHE: dict[tuple, tuple[jnp.ndarray, jnp.ndarray]] = {}
+#: (cluster table, face permutation, kd tile table, device faces,
+#: device canonical verts) per canonical mesh
+_CLUSTER_CACHE: dict[tuple, tuple] = {}
 
 
 def _mesh_cache_key(faces: np.ndarray, verts_cano: np.ndarray) -> tuple:
@@ -80,28 +88,35 @@ def _mesh_cache_key(faces: np.ndarray, verts_cano: np.ndarray) -> tuple:
 
 
 def _spatial_tables_for(faces: np.ndarray, verts_cano: np.ndarray):
-    """Build (and cache per canonical mesh) the balanced face partition and
-    the flattened kd-spatial face order used by the pruned search."""
+    """Build (and cache per canonical mesh) the balanced face partition,
+    the flattened kd-spatial face order, the kd tile table of the listed
+    search, and the device copies of the constant faces/canonical-verts
+    arrays (re-uploading them per item would churn H2D transfers)."""
     key = _mesh_cache_key(faces, verts_cano)
     if key not in _CLUSTER_CACHE:
         from ..ops import build_face_clusters, face_centroids
         from ..ops.pruned_knn import build_face_tiles
 
         cano = jnp.asarray(verts_cano, jnp.float32)
-        cents = np.asarray(face_centroids(cano, jnp.asarray(faces, jnp.int32)))
+        faces_dev = jnp.asarray(faces, jnp.int32)
+        cents = np.asarray(face_centroids(cano, faces_dev))
         table = np.asarray(build_face_clusters(cents).table)
         face_perm = jnp.asarray(table[table >= 0].ravel(), jnp.int32)
         tile_table = build_face_tiles(jnp.asarray(cents))
-        _CLUSTER_CACHE[key] = (jnp.asarray(table), face_perm, tile_table)
+        _CLUSTER_CACHE[key] = (
+            jnp.asarray(table), face_perm, tile_table, faces_dev, cano
+        )
     return _CLUSTER_CACHE[key]
 
 
 def item_to_mesh(item: dict, faces: np.ndarray, verts_cano: np.ndarray) -> MeshBundle:
-    table, face_perm, tile_table = _spatial_tables_for(faces, verts_cano)
+    table, face_perm, tile_table, faces_dev, cano_dev = _spatial_tables_for(
+        faces, verts_cano
+    )
     return MeshBundle(
-        faces=jnp.asarray(faces, jnp.int32),
+        faces=faces_dev,
         verts_world=jnp.asarray(item["xyz"], jnp.float32),
-        verts_cano=jnp.asarray(verts_cano, jnp.float32),
+        verts_cano=cano_dev,
         cluster_table=table,
         face_perm=face_perm,
         tile_table=tile_table,

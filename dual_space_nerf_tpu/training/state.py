@@ -95,7 +95,7 @@ def make_train_step(
         metrics = {
             "loss": total,
             "psnr": -10.0 * jnp.log10(aux["mse"]),
-            **{k: v for k, v in aux["losses"].items()},
+            **aux["losses"],
         }
         return TrainState(params, opt_state, state.step + 1), metrics
 

@@ -165,7 +165,7 @@ def test_cluster_cache_keyed_by_content_not_id():
     faces = rng.integers(0, 30, (40, 3)).astype(np.int32)
 
     v1 = rng.standard_normal((30, 3)).astype(np.float32)
-    _, perm1, _ = _spatial_tables_for(faces, v1)
+    _, perm1, *_ = _spatial_tables_for(faces, v1)
     perm1 = np.asarray(perm1).copy()
     key1 = id(v1)
     del v1
@@ -175,12 +175,12 @@ def test_cluster_cache_keyed_by_content_not_id():
     # the cache no longer consults id()
     v2 = rng.standard_normal((30, 3)).astype(np.float32) * 3.0 + 5.0
     assert key1 not in _CLUSTER_CACHE  # keys are content tuples, not ids
-    _, perm2, _ = _spatial_tables_for(faces, v2)
+    _, perm2, *_ = _spatial_tables_for(faces, v2)
     assert not np.array_equal(perm1, np.asarray(perm2))
 
     # same content in a fresh array object hits the cache
     v2_copy = v2.copy()
-    _, perm3, _ = _spatial_tables_for(faces, v2_copy)
+    _, perm3, *_ = _spatial_tables_for(faces, v2_copy)
     assert np.array_equal(np.asarray(perm2), np.asarray(perm3))
 
 
