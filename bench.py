@@ -65,7 +65,7 @@ def main():
         n_samples=N_SAMPLES,
         sample_mode="GG",
         mlp_chunk=cfg.MODEL.MLP_CHUNK,
-        knn_impl="auto",
+        knn_impl=os.environ.get("BENCH_KNN", "auto"),
         # v5e's 16 GB holds the full second-order graph at this workload;
         # remat costs ~6 ms/step (measured, scripts/profile_step.py)
         remat=False,
@@ -104,32 +104,67 @@ def main():
                         dataset.canonical_vertex)
 
     tx, _ = make_optimizer(cfg)
-    state = create_train_state(model, tx, jax.random.key(0))
-    step = make_train_step(model, tx, settings, loss_type="L2")
     key = jax.random.key(1)
 
-    for _ in range(WARMUP):
-        state, metrics = step(state, batch, geom, key)
-    float(metrics["loss"])  # device->host copy: a true execution barrier
-    # (block_until_ready alone does not flush the axon remote executor)
+    def run(s):
+        state = create_train_state(model, tx, jax.random.key(0))
+        step = make_train_step(model, tx, settings=s, loss_type="L2")
+        for _ in range(WARMUP):
+            state, metrics = step(state, batch, geom, key)
+        float(metrics["loss"])  # device->host copy: a true execution barrier
+        # (block_until_ready alone does not flush the axon remote executor)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state, metrics = step(state, batch, geom, key)
+        float(metrics["loss"])
+        return NRAYS * ITERS / (time.perf_counter() - t0)
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step(state, batch, geom, key)
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
+    # Fallback ladder: never let a kernel-level failure on the measurement
+    # machine record nothing — degrade to simpler (slower but battle-tested)
+    # KNN paths, and finally to the pure-XLA pipeline with fusion off.
+    import dataclasses
+    import sys
+    import traceback
 
-    rays_per_s = NRAYS * ITERS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train_rays_per_sec_per_chip",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s @ 64 samples/ray, full train step",
-                "vs_baseline": round(rays_per_s / ASSUMED_REFERENCE_RAYS_PER_S, 2),
-            }
+    attempts = [settings]
+    for impl in ("pruned", "pallas", "xla"):
+        if impl != settings.knn_impl:
+            attempts.append(dataclasses.replace(settings, knn_impl=impl))
+    if settings.fused_mlp:
+        attempts.append(
+            dataclasses.replace(settings, knn_impl="xla", fused_mlp=False)
         )
-    )
+
+    note = None
+    rays_per_s = None
+    for i, s in enumerate(attempts):
+        try:
+            rays_per_s = run(s)
+            if i > 0:
+                note = (
+                    f"fallback: knn_impl={s.knn_impl} fused_mlp={s.fused_mlp}"
+                    f" (primary config failed; see stderr)"
+                )
+            break
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            print(
+                f"bench: attempt {i} (knn_impl={s.knn_impl}, "
+                f"fused_mlp={s.fused_mlp}) failed; trying next",
+                file=sys.stderr,
+            )
+    if rays_per_s is None:
+        raise SystemExit("bench: every pipeline configuration failed")
+
+    record = {
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s @ 64 samples/ray, full train step",
+        "vs_baseline": round(rays_per_s / ASSUMED_REFERENCE_RAYS_PER_S, 2),
+    }
+    if note:
+        record["note"] = note
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -26,10 +26,12 @@ run profile python scripts/profile_step.py --iters 10
 # 2. two-level listed-KNN sweep (sc, bf, bp, plan_p)
 run sweep_knn python scripts/sweep_knn.py --listed --iters 20
 
-# 3. bench A/Bs: baseline vs fused
+# 3. bench A/Bs: baseline vs fused, and the KNN impl ladder
 run bench_base python bench.py
 run bench_fused env BENCH_FUSED=1 python bench.py
 run bench_fused1024 env BENCH_FUSED=1 BENCH_FUSED_BLOCK=1024 python bench.py
 run bench_fused2048 env BENCH_FUSED=1 BENCH_FUSED_BLOCK=2048 python bench.py
+run bench_knn_pruned env BENCH_KNN=pruned python bench.py
+run bench_fused_best env BENCH_FUSED=1 BENCH_FUSED_BLOCK=1024 BENCH_KNN=listed python bench.py
 
 echo "battery done -> $out/summary.txt"
