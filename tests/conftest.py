@@ -20,10 +20,11 @@ import pytest  # noqa: E402
 
 # The container's sitecustomize registers + initializes the axon TPU backend
 # at interpreter startup (before conftest); force re-init onto the 8-device
-# virtual CPU platform.
-if jax.default_backend() != "cpu":
-    jax.config.update("jax_platforms", "cpu")
-    jax.extend.backend.clear_backends()
+# virtual CPU platform. Unconditional: merely PROBING the current backend
+# (jax.default_backend()) initializes axon and raises/hangs when the TPU
+# tunnel is wedged, so never ask — just repoint and clear.
+jax.config.update("jax_platforms", "cpu")
+jax.extend.backend.clear_backends()
 assert jax.device_count() == 8, jax.devices()
 
 # Compiles in this container round-trip a remote compile service (~1s each,
