@@ -71,6 +71,16 @@ _C.DATASETS.ZJU_MOCAP_PATH = "data/zju_mocap"
 _C.DATASETS.H36M_PATH = "data/h36m"
 _C.DATASETS.SMPL_PATH = "data/smpl/SMPL_NEUTRAL.pkl"
 
+# Asset-free synthetic scene (DATASETS.TYPE = "synthetic") scale knobs.
+# Defaults reproduce the original 2-pose x 3-view 96x96 smoke scene.
+# VAL_VIEW_OFFSET rotates the val cameras by a fraction of the angular
+# view spacing (0.5 = halfway between train cameras -> genuinely novel
+# views for convergence/quality runs).
+_C.DATASETS.SYNTHETIC_FRAMES = 2
+_C.DATASETS.SYNTHETIC_VIEWS = 3
+_C.DATASETS.SYNTHETIC_SIZE = 96
+_C.DATASETS.SYNTHETIC_VAL_VIEW_OFFSET = 0.0
+
 _C.DATALOADER = CN()
 _C.DATALOADER.NUM_WORKERS = 8
 _C.DATALOADER.PREFETCH = 2

@@ -56,10 +56,21 @@ def _data_config_path(cfg) -> str:
 
 def select_dataset(cfg, train_nrays=2000, formal_test=False):
     if cfg.DATASETS.TYPE == "synthetic":
-        train = SyntheticDataset(split="train", nrays=train_nrays)
-        val = SyntheticDataset(split="val")
+        ds = cfg.DATASETS
+        size = dict(
+            n_frames=getattr(ds, "SYNTHETIC_FRAMES", 2),
+            n_views=getattr(ds, "SYNTHETIC_VIEWS", 3),
+            h=getattr(ds, "SYNTHETIC_SIZE", 96),
+            w=getattr(ds, "SYNTHETIC_SIZE", 96),
+        )
+        val_offset = getattr(ds, "SYNTHETIC_VAL_VIEW_OFFSET", 0.0)
+        train = SyntheticDataset(split="train", nrays=train_nrays, **size)
+        val = SyntheticDataset(split="val", view_offset=val_offset, **size)
         if formal_test:
-            return SyntheticDataset(split="val"), SyntheticDataset(split="val")
+            return (
+                SyntheticDataset(split="val", view_offset=val_offset, **size),
+                SyntheticDataset(split="val", view_offset=val_offset, **size),
+            )
         return train, val
 
     with open(_data_config_path(cfg), "r", encoding="utf-8") as f:

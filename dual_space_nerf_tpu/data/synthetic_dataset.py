@@ -51,7 +51,7 @@ class SyntheticDataset:
 
     def __init__(
         self, split="train", nrays=1024, n_frames=2, n_views=3,
-        h=96, w=96, seed=0,
+        h=96, w=96, seed=0, view_offset=0.0,
     ):
         self.split = split
         self.nrays = nrays if split == "train" else -1
@@ -63,7 +63,8 @@ class SyntheticDataset:
                 self.items.append(
                     (f, v, make_scene(
                         seed=seed, bend=0.3 + 0.05 * f,
-                        cam_angle=2 * np.pi * v / n_views, h=h, w=w,
+                        cam_angle=2 * np.pi * (v + view_offset) / n_views,
+                        h=h, w=w,
                     ))
                 )
         self.canonical_vertex = self.items[0][2].verts_cano

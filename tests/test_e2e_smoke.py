@@ -95,6 +95,32 @@ def test_select_dataset_synthetic(tiny_cfg):
     assert len(nv) > 0 and len(npo) > 0
 
 
+def test_select_dataset_synthetic_scale_knobs(tiny_cfg):
+    """DATASETS.SYNTHETIC_* sizes the asset-free scene; VAL_VIEW_OFFSET
+    rotates val cameras off the train ones (novel-view evaluation)."""
+    import numpy as np
+
+    from dual_space_nerf_tpu.data import select_dataset
+
+    cfg = tiny_cfg.clone()
+    cfg.defrost()
+    cfg.DATASETS.SYNTHETIC_FRAMES = 3
+    cfg.DATASETS.SYNTHETIC_VIEWS = 4
+    cfg.DATASETS.SYNTHETIC_SIZE = 64
+    cfg.DATASETS.SYNTHETIC_VAL_VIEW_OFFSET = 0.5
+    train, val = select_dataset(cfg, train_nrays=32)
+    assert len(train) == 3 * 4 and len(val) == 3 * 4
+    t0, v0 = train[0], val[0]
+    assert t0["img"].shape == (64, 64, 3)
+    # same pose, rotated camera: extrinsics differ, geometry identical
+    assert not np.allclose(t0["R"], v0["R"])
+    assert np.allclose(t0["xyz"], v0["xyz"])
+    # offset 0 keeps val cameras identical to train (legacy behavior)
+    cfg.DATASETS.SYNTHETIC_VAL_VIEW_OFFSET = 0.0
+    train2, val2 = select_dataset(cfg, train_nrays=32)
+    assert np.allclose(train2[0]["R"], val2[0]["R"])
+
+
 def test_sharded_image_renderer_matches_single_device(tiny_cfg):
     """Eval chunks sharded over the 8-virtual-device ray mesh must produce
     the same image as the unsharded renderer (SURVEY.md section 2
