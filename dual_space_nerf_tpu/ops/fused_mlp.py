@@ -414,6 +414,20 @@ def _wspecs(names, packed):
     ]
 
 
+def _vmem_params(interpret):
+    """Raise Mosaic's scoped-VMEM cap to the physical 128 MiB.
+
+    The default 16 MiB limit is a compiler guardrail, not the hardware size
+    (v4/v5e VMEM is 128 MiB); the backward kernel's live set — weights +
+    grad accumulators (~4 MiB) plus the recomputed activation chain, masks,
+    and u/dz temporaries (~22 MiB at block=512) — measured 26.3 MiB on a
+    real v5e, so without this the kernel compiles in interpret mode only.
+    """
+    if interpret:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
+
+
 def _run_fwd(packed, x, block, interpret, with_color):
     n_pad = x.shape[0]
     wnames = _WNAMES_C if with_color else _WNAMES_D
@@ -437,6 +451,7 @@ def _run_fwd(packed, x, block, interpret, with_color):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_vmem_params(interpret),
     )(x, *[packed[n] for n in wnames])
     return outs
 
@@ -482,6 +497,7 @@ def _run_bwd(packed, x, cotangents, block, interpret, with_color):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=_vmem_params(interpret),
     )(x, *cotangents, *[packed[n] for n in wnames])
     if with_color:
         xbar, gpe = outs[0], outs[1]
