@@ -82,6 +82,7 @@ def main():
         # measurement picks the shipped default
         fused_mlp=os.environ.get("BENCH_FUSED", "0") == "1",
         fused_block=int(os.environ.get("BENCH_FUSED_BLOCK", "512")),
+        fused_fast=os.environ.get("BENCH_FUSED_FAST", "0") == "1",
     )
 
     # rays come from the REAL host pipeline — a 512x512 splatted image of the

@@ -58,6 +58,10 @@ _C.MODEL.REUSE_WARP_FACES = False
 # the XLA path otherwise.
 _C.MODEL.FUSED_MLP = False
 _C.MODEL.FUSED_BLOCK = 512         # points per fused-kernel grid block
+# one-pass bf16 MXU feeds inside the fused kernels (XLA-DEFAULT numerics
+# for the Dense layers they replace); measured perf-neutral on v5e, so the
+# default keeps Mosaic's exact multi-pass f32 dots
+_C.MODEL.FUSED_FAST = False
 
 # ----------------------------------------------------------------------------
 # Dataset

@@ -69,22 +69,35 @@ _NF = 10           # posenc frequencies
 F32 = jnp.float32
 
 
-def _dot(a, b):
+def _cast(a, b, fast):
+    """fast=True: one-pass bf16 MXU feed (XLA's DEFAULT precision for f32
+    Dense matmuls). fast=False: leave f32 — Mosaic lowers f32 dots through
+    the multi-pass exact decomposition, which is what the parity tests pin
+    but costs ~3x MXU time."""
+    if fast:
+        return a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+    return a, b
+
+
+def _dot(a, b, fast=False):
     """a @ b."""
+    a, b = _cast(a, b, fast)
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=F32
     )
 
 
-def _dot_t(a, b):
+def _dot_t(a, b, fast=False):
     """a @ b.T (contract b's out dim) — transposed MXU feed, no reshape."""
+    a, b = _cast(a, b, fast)
     return jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=F32
     )
 
 
-def _dot_g(a, b):
+def _dot_g(a, b, fast=False):
     """a.T @ b (contract the point dim) — the weight-gradient product."""
+    a, b = _cast(a, b, fast)
     return jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=F32
     )
@@ -237,7 +250,7 @@ def _pe_extra_from_nbar(gpe, nbar, dp):
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
-def _fwd_body(x, w, with_color, need_sigma=True):
+def _fwd_body(x, w, with_color, need_sigma=True, fast=False):
     """Shared forward chain. Returns (sigma_col, essence128, gpe128, hs).
 
     need_sigma=False (the backward's hs-only recompute) skips the density
@@ -249,36 +262,36 @@ def _fwd_body(x, w, with_color, need_sigma=True):
         [(w["k1"], w["b1"]), (w["k2"], w["b2"]), (w["k3"], w["b3"]),
          (w["k4"], w["b4"])]
     ):
-        h = jnp.maximum(_dot(h, k) + b, 0.0)
+        h = jnp.maximum(_dot(h, k, fast) + b, 0.0)
         hs.append(h)
     # skip layer as a two-matmul sum (no in-kernel concatenation)
     h = jnp.maximum(
-        _dot(h, w["k5a"]) + _dot(x, w["k5b"]) + w["b5"], 0.0
+        _dot(h, w["k5a"], fast) + _dot(x, w["k5b"], fast) + w["b5"], 0.0
     )
     hs.append(h)
     for k, b in [(w["k6"], w["b6"]), (w["k7"], w["b7"])]:
-        h = jnp.maximum(_dot(h, k) + b, 0.0)
+        h = jnp.maximum(_dot(h, k, fast) + b, 0.0)
         hs.append(h)
     sigma = (
-        _dot(h, w["k8"]) + w["b8"] if need_sigma else None
+        _dot(h, w["k8"], fast) + w["b8"] if need_sigma else None
     )                                                       # (P, 128), lane 0
     if not with_color:
         return sigma, None, None, hs
-    e1 = jnp.maximum(_dot(h, w["k9"]) + w["b9"], 0.0)       # (P, 128)
-    essence = _dot(e1, w["k10"]) + w["b10"]                 # lanes 0..2
+    e1 = jnp.maximum(_dot(h, w["k9"], fast) + w["b9"], 0.0)  # (P, 128)
+    essence = _dot(e1, w["k10"], fast) + w["b10"]           # lanes 0..2
     # g-recursion: gpe = d(sigma)/d(pe lanes)
     u = (hs[6] > 0.0) * w["k8row"]                          # u7
     for k, hprev in [(w["k7"], hs[5]), (w["k6"], hs[4])]:
-        u = (hprev > 0.0) * _dot_t(u, k)                    # u6, u5
+        u = (hprev > 0.0) * _dot_t(u, k, fast)              # u6, u5
     u5 = u
-    u = (hs[3] > 0.0) * _dot_t(u5, w["k5a"])                # u4
+    u = (hs[3] > 0.0) * _dot_t(u5, w["k5a"], fast)          # u4
     for k, hprev in [(w["k4"], hs[2]), (w["k3"], hs[1]), (w["k2"], hs[0])]:
-        u = (hprev > 0.0) * _dot_t(u, k)
-    gpe = _dot_t(u, w["k1"]) + _dot_t(u5, w["k5b"])         # (P, 128)
+        u = (hprev > 0.0) * _dot_t(u, k, fast)
+    gpe = _dot_t(u, w["k1"], fast) + _dot_t(u5, w["k5b"], fast)  # (P, 128)
     return sigma, essence, gpe, hs
 
 
-def _fwd_kernel(*refs, with_color: bool, wnames: tuple):
+def _fwd_kernel(*refs, with_color: bool, wnames: tuple, fast: bool):
     if with_color:
         x_ref = refs[0]
         w = dict(zip(wnames, refs[1 : 1 + len(wnames)]))
@@ -288,14 +301,15 @@ def _fwd_kernel(*refs, with_color: bool, wnames: tuple):
         w = dict(zip(wnames, refs[1 : 1 + len(wnames)]))
         (sigma_ref,) = refs[1 + len(wnames) :]
     wv = {k: r[...] for k, r in w.items()}
-    sigma, essence, gpe, _ = _fwd_body(x_ref[...], wv, with_color)
+    sigma, essence, gpe, _ = _fwd_body(x_ref[...], wv, with_color, fast=fast)
     sigma_ref[...] = sigma[:, :1]
     if with_color:
         ess_ref[...] = essence[:, :3]
         gpe_ref[...] = gpe
 
 
-def _bwd_kernel(*refs, with_color: bool, wnames: tuple, gnames: tuple):
+def _bwd_kernel(*refs, with_color: bool, wnames: tuple, gnames: tuple,
+                fast: bool):
     nw = len(wnames)
     if with_color:
         x_ref, sbar_ref, ebar_ref, gbar_ref = refs[:4]
@@ -317,7 +331,7 @@ def _bwd_kernel(*refs, with_color: bool, wnames: tuple, gnames: tuple):
 
     wv = {k: r[...] for k, r in w.items()}
     x = x_ref[...]
-    _, _, _, hs = _fwd_body(x, wv, False, need_sigma=False)
+    _, _, _, hs = _fwd_body(x, wv, False, need_sigma=False, fast=fast)
     h1, h2, h3, h4, h5, h6, h7 = hs
     m = [h > 0.0 for h in hs]
     sbar = sbar_ref[...]                                    # (P, 1)
@@ -330,36 +344,36 @@ def _bwd_kernel(*refs, with_color: bool, wnames: tuple, gnames: tuple):
     dh7 = sbar * wv["k8row"]                                # (P, 256)
     if with_color:
         ebar = ebar_ref[...]                                # (P, 128), 3 live
-        z9 = _dot(h7, wv["k9"]) + wv["b9"]
+        z9 = _dot(h7, wv["k9"], fast) + wv["b9"]
         e1 = jnp.maximum(z9, 0.0)
-        de1 = _dot_t(ebar, wv["k10"]) * (z9 > 0.0)
-        grefs["k10"][...] += _dot_g(e1, ebar)
+        de1 = _dot_t(ebar, wv["k10"], fast) * (z9 > 0.0)
+        grefs["k10"][...] += _dot_g(e1, ebar, fast)
         grefs["b10"][...] += jnp.sum(ebar, axis=0, keepdims=True)
-        grefs["k9"][...] += _dot_g(h7, de1)
+        grefs["k9"][...] += _dot_g(h7, de1, fast)
         grefs["b9"][...] += jnp.sum(de1, axis=0, keepdims=True)
-        dh7 = dh7 + m[6] * _dot_t(de1, wv["k9"])            # relu(h7) mask
+        dh7 = dh7 + m[6] * _dot_t(de1, wv["k9"], fast)      # relu(h7) mask
 
     dz = m[6] * dh7
     for kname, bname, hprev, mprev in [
         ("k7", "b7", h6, m[5]), ("k6", "b6", h5, m[4]),
     ]:
-        grefs[kname][...] += _dot_g(hprev, dz)
+        grefs[kname][...] += _dot_g(hprev, dz, fast)
         grefs[bname][...] += jnp.sum(dz, axis=0, keepdims=True)
-        dz = mprev * _dot_t(dz, wv[kname])
-    grefs["k5a"][...] += _dot_g(h4, dz)
-    grefs["k5b"][...] += _dot_g(x, dz)
+        dz = mprev * _dot_t(dz, wv[kname], fast)
+    grefs["k5a"][...] += _dot_g(h4, dz, fast)
+    grefs["k5b"][...] += _dot_g(x, dz, fast)
     grefs["b5"][...] += jnp.sum(dz, axis=0, keepdims=True)
-    ds_b = _dot_t(dz, wv["k5b"])                            # (P, 128) x part
-    dz = m[3] * _dot_t(dz, wv["k5a"])
+    ds_b = _dot_t(dz, wv["k5b"], fast)                      # (P, 128) x part
+    dz = m[3] * _dot_t(dz, wv["k5a"], fast)
     for kname, bname, hprev, mprev in [
         ("k4", "b4", h3, m[2]), ("k3", "b3", h2, m[1]), ("k2", "b2", h1, m[0]),
     ]:
-        grefs[kname][...] += _dot_g(hprev, dz)
+        grefs[kname][...] += _dot_g(hprev, dz, fast)
         grefs[bname][...] += jnp.sum(dz, axis=0, keepdims=True)
-        dz = mprev * _dot_t(dz, wv[kname])
-    grefs["k1"][...] += _dot_g(x, dz)
+        dz = mprev * _dot_t(dz, wv[kname], fast)
+    grefs["k1"][...] += _dot_g(x, dz, fast)
     grefs["b1"][...] += jnp.sum(dz, axis=0, keepdims=True)
-    xbar = _dot_t(dz, wv["k1"]) + ds_b                      # skip pe lanes
+    xbar = _dot_t(dz, wv["k1"], fast) + ds_b                # skip pe lanes
 
     if not with_color:
         xbar_ref[...] = xbar
@@ -368,29 +382,29 @@ def _bwd_kernel(*refs, with_color: bool, wnames: tuple, gnames: tuple):
     # ---- second order: vjp of the g-recursion w.r.t. the weights ----
     # recompute g/u chain (downward), keeping u_l
     u7 = m[6] * wv["k8row"]
-    u6 = m[5] * _dot_t(u7, wv["k7"])
-    u5 = m[4] * _dot_t(u6, wv["k6"])
-    u4 = m[3] * _dot_t(u5, wv["k5a"])
-    u3 = m[2] * _dot_t(u4, wv["k4"])
-    u2 = m[1] * _dot_t(u3, wv["k3"])
-    u1 = m[0] * _dot_t(u2, wv["k2"])
-    gpe_ref[...] = _dot_t(u1, wv["k1"]) + _dot_t(u5, wv["k5b"])
+    u6 = m[5] * _dot_t(u7, wv["k7"], fast)
+    u5 = m[4] * _dot_t(u6, wv["k6"], fast)
+    u4 = m[3] * _dot_t(u5, wv["k5a"], fast)
+    u3 = m[2] * _dot_t(u4, wv["k4"], fast)
+    u2 = m[1] * _dot_t(u3, wv["k3"], fast)
+    u1 = m[0] * _dot_t(u2, wv["k2"], fast)
+    gpe_ref[...] = _dot_t(u1, wv["k1"], fast) + _dot_t(u5, wv["k5b"], fast)
 
     # reverse (upward) sweep driven by the gpe cotangent
     gbar = gbar_ref[...]                                    # (P, 128)
-    grefs["k1"][...] += _dot_g(gbar, u1)
-    gb = m[0] * _dot(gbar, wv["k1"])                        # gbar_1
+    grefs["k1"][...] += _dot_g(gbar, u1, fast)
+    gb = m[0] * _dot(gbar, wv["k1"], fast)                  # gbar_1
     for kname, unext, mnext in [
         ("k2", u2, m[1]), ("k3", u3, m[2]), ("k4", u4, m[3]),
     ]:
-        grefs[kname][...] += _dot_g(gb, unext)
-        gb = mnext * _dot(gb, wv[kname])
-    grefs["k5a"][...] += _dot_g(gb, u5)
-    grefs["k5b"][...] += _dot_g(gbar, u5)
-    gb = m[4] * (_dot(gb, wv["k5a"]) + _dot(gbar, wv["k5b"]))
+        grefs[kname][...] += _dot_g(gb, unext, fast)
+        gb = mnext * _dot(gb, wv[kname], fast)
+    grefs["k5a"][...] += _dot_g(gb, u5, fast)
+    grefs["k5b"][...] += _dot_g(gbar, u5, fast)
+    gb = m[4] * (_dot(gb, wv["k5a"], fast) + _dot(gbar, wv["k5b"], fast))
     for kname, unext, mnext in [("k6", u6, m[5]), ("k7", u7, m[6])]:
-        grefs[kname][...] += _dot_g(gb, unext)
-        gb = mnext * _dot(gb, wv[kname])
+        grefs[kname][...] += _dot_g(gb, unext, fast)
+        gb = mnext * _dot(gb, wv[kname], fast)
     grefs["k8row"][...] += jnp.sum(gb, axis=0, keepdims=True)
     xbar_ref[...] = xbar
 
@@ -428,7 +442,7 @@ def _vmem_params(interpret):
     return pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024)
 
 
-def _run_fwd(packed, x, block, interpret, with_color):
+def _run_fwd(packed, x, block, interpret, with_color, fast):
     n_pad = x.shape[0]
     wnames = _WNAMES_C if with_color else _WNAMES_D
     pt_spec = lambda width: pl.BlockSpec(
@@ -445,7 +459,9 @@ def _run_fwd(packed, x, block, interpret, with_color):
         out_shape = (jax.ShapeDtypeStruct((n_pad, 1), F32),)
         out_specs = (pt_spec(1),)
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, with_color=with_color, wnames=wnames),
+        functools.partial(
+            _fwd_kernel, with_color=with_color, wnames=wnames, fast=fast
+        ),
         grid=(n_pad // block,),
         in_specs=[pt_spec(_IN)] + _wspecs(wnames, packed),
         out_specs=out_specs,
@@ -456,7 +472,7 @@ def _run_fwd(packed, x, block, interpret, with_color):
     return outs
 
 
-def _run_bwd(packed, x, cotangents, block, interpret, with_color):
+def _run_bwd(packed, x, cotangents, block, interpret, with_color, fast):
     n_pad = x.shape[0]
     # the backward kernel reads k8row, never the packed (256, 128) k8 —
     # dropping it saves a dead VMEM-resident operand block per grid step
@@ -490,7 +506,8 @@ def _run_bwd(packed, x, cotangents, block, interpret, with_color):
         in_specs = [pt_spec(_IN), pt_spec(1)] + _wspecs(wnames, packed)
     outs = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, with_color=with_color, wnames=wnames, gnames=gnames
+            _bwd_kernel, with_color=with_color, wnames=wnames, gnames=gnames,
+            fast=fast,
         ),
         grid=(n_pad // block,),
         in_specs=in_specs,
@@ -509,13 +526,13 @@ def _run_bwd(packed, x, cotangents, block, interpret, with_color):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused(block: int, interpret: bool, with_color: bool):
+def _make_fused(block: int, interpret: bool, with_color: bool, fast: bool):
     def fwd_impl(weights, pe, cp):
         n = pe.shape[0]
         n_pad = -(-n // block) * block
         x = _build_x(pe, cp, n_pad)
         packed = _pack(weights, with_color)
-        outs = _run_fwd(packed, x, block, interpret, with_color)
+        outs = _run_fwd(packed, x, block, interpret, with_color, fast)
         sigma = outs[0][:n, 0]
         if not with_color:
             return (sigma,)
@@ -555,7 +572,7 @@ def _make_fused(block: int, interpret: bool, with_color: bool):
             (sbar,) = cots
             cotangents = (padpts(sbar, 1),)
         xbar, gpe, grads = _run_bwd(
-            packed, x, cotangents, block, interpret, with_color
+            packed, x, cotangents, block, interpret, with_color, fast
         )
         wgrads = _unpack_grads(grads, with_color)
         wgrads = tuple(
@@ -578,7 +595,8 @@ def _make_fused(block: int, interpret: bool, with_color: bool):
 
 
 def fused_sigma_essence_normal(
-    weights, pe, cp, *, block: int = 512, interpret: bool = False
+    weights, pe, cp, *, block: int = 512, interpret: bool = False,
+    fast: bool = False,
 ):
     """sigma (N,), essence (N, 3), normal_local (N, 3) = d(sigma)/d(pos).
 
@@ -588,9 +606,14 @@ def fused_sigma_essence_normal(
     `jax.grad` through the `jax.vjp`-normal formulation, incl. the
     second-order normal terms).
     """
-    return _make_fused(block, bool(interpret), True)(weights, pe, cp)
+    return _make_fused(block, bool(interpret), True, bool(fast))(
+        weights, pe, cp
+    )
 
 
-def fused_sigma(weights, pe, cp, *, block: int = 512, interpret: bool = False):
+def fused_sigma(weights, pe, cp, *, block: int = 512,
+                interpret: bool = False, fast: bool = False):
     """Density-only fused forward: sigma (N,). Same contract as above."""
-    return _make_fused(block, bool(interpret), False)(weights, pe, cp)[0]
+    return _make_fused(block, bool(interpret), False, bool(fast))(
+        weights, pe, cp
+    )[0]

@@ -144,6 +144,12 @@ class RenderSettings:
     # and falls back to the XLA path otherwise.
     fused_mlp: bool = False
     fused_block: int = 512           # points per fused-kernel grid block
+    # one-pass bf16 MXU feeds inside the fused kernels — the numerics XLA's
+    # DEFAULT precision applies to the f32 Dense layers they replace.
+    # Measured perf-NEUTRAL on v5e (108.4k rays/s both ways at the gated
+    # bench config): the kernels are bound by HBM streaming + grid overhead,
+    # not MXU passes. Off by default — exact f32 dots for free.
+    fused_fast: bool = False
     # v5e's 16 GB fits the full second-order graph at SMPL scale; remat
     # costs ~5% step time and is only needed for much larger scenes
     remat: bool = False
@@ -175,6 +181,7 @@ class RenderSettings:
             shade_topk=max(getattr(cfg.MODEL, "SHADE_TOPK", 0), 0),
             fused_mlp=bool(getattr(cfg.MODEL, "FUSED_MLP", False)),
             fused_block=int(getattr(cfg.MODEL, "FUSED_BLOCK", 512)),
+            fused_fast=bool(getattr(cfg.MODEL, "FUSED_FAST", False)),
         )
 
 
@@ -341,6 +348,7 @@ def _point_network(
         sigma, essence, normal_local = fused_sigma_essence_normal(
             weights, pe, cp, block=settings.fused_block,
             interpret=jax.default_backend() != "tpu",
+            fast=settings.fused_fast,
         )
         density = sigma[:, None]
     else:
@@ -763,6 +771,7 @@ def _gated_shading(
         density = fused_sigma(
             weights, pe, cp, block=settings.fused_block,
             interpret=jax.default_backend() != "tpu",
+            fast=settings.fused_fast,
         )
         sigma_flat = jnp.where(tmask_f, 0.0, density)
     else:

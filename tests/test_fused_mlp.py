@@ -137,6 +137,61 @@ def test_full_gradient_matches_autodiff_path(model_params):
             _assert_close(la, lb, 2e-5, f"grad[{name}]")
 
 
+def test_fast_mode_tracks_exact(model_params):
+    """fast=True (one-pass bf16 MXU feeds, XLA-DEFAULT numerics) stays
+    within bf16 rounding of the exact kernels — forward and full gradient.
+
+    On CPU the exact path accumulates in true f32, so the comparison sees
+    the real bf16 input-rounding error (~1e-2 relative)."""
+    model, params = model_params
+    n = 300
+    pts, code, pose_feat = _inputs(n)
+    cs = jnp.asarray(0.7)
+
+    def fused(fast):
+        def fn(params, pts, code, pose_feat, code_scale):
+            w = fm.extract_nerf_weights(params["params"]["nerf"])
+            pe = posenc(pts, 10)
+            cp = jnp.concatenate(
+                [
+                    jnp.broadcast_to(code * code_scale, (pts.shape[0], 8)),
+                    jnp.broadcast_to(pose_feat, (pts.shape[0], 16)),
+                ],
+                axis=1,
+            )
+            return fm.fused_sigma_essence_normal(
+                w, pe, cp, block=256, interpret=True, fast=fast
+            )
+
+        return fn
+
+    s0, e0, n0 = fused(False)(params, pts, code, pose_feat, cs)
+    s1, e1, n1 = fused(True)(params, pts, code, pose_feat, cs)
+    _assert_close(s0, s1, 2e-2, "sigma")
+    _assert_close(e0, e1, 2e-2, "essence")
+    # the normal chains 7 bf16-rounded matmuls through posenc frequencies
+    # up to 2^9 — measured ~0.14 of scale on CPU (same amplification XLA's
+    # own DEFAULT-precision vjp path carries on TPU)
+    _assert_close(n0, n1, 0.25, "normal")
+
+    k = jax.random.split(jax.random.key(3), 3)
+    ca = jax.random.normal(k[0], (n,))
+    cb = jax.random.normal(k[1], (n, 3))
+    cc = jax.random.normal(k[2], (n, 3))
+
+    def loss(fn):
+        def f(*args):
+            s, e, nr = fn(*args)
+            return jnp.sum(ca * s) + jnp.sum(cb * e) + jnp.sum(cc * nr)
+
+        return f
+
+    g0 = jax.grad(loss(fused(False)))(params, pts, code, pose_feat, cs)
+    g1 = jax.grad(loss(fused(True)))(params, pts, code, pose_feat, cs)
+    for la, lb in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        _assert_close(la, lb, 0.25, "grad")
+
+
 def test_density_only_kernel(model_params):
     """fused_sigma matches the density head, value and gradient."""
     model, params = model_params
