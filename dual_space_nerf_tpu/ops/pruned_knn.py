@@ -4,8 +4,9 @@ Two generations live here; `knn_impl="auto"` on TPU picks the v3
 list-driven search (`pruned_search_listed`, bottom of file) when the mesh
 bundle carries a kd-leaf tile table, falling back to the v2 unrolled
 kernel (`pruned_search_presorted`) otherwise. v2 measured 16-17 ms on the
-ZJU-313 training workload; v3 measures 13.7 ms isolated and ~3.7 ms less
-per train step (the plan overlaps better in-graph).
+ZJU-313 training workload; v3 measures ~15 ms isolated (whole-block plans,
+v5e sweep 2026-08-19) and several ms less per train step (the plan
+overlaps better in-graph).
 
 The brute-force kernel (ops/nearest_face.py) is VPU-bound at ~36 ms for
 352k x 13776 on v5e. The v2 variant skips part of that work:
@@ -35,6 +36,7 @@ configuration and all callers in the renderer use them.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -275,16 +277,22 @@ def pruned_search_presorted(
 #   Lists are sorted by the sub-block-min lower bound; the kernel walks
 #   them from SMEM with a dynamic-trip fori_loop and tightens the true
 #   per-sub-block threshold after every visit, so overshoot entries die on
-#   one scalar compare. TWO-LEVEL: the Pallas grid block stays 2048 points
-#   (one prologue/decode), but each 256-pt sub-block has its own plan row
-#   in the 8-row SMEM slab and its own threshold — sub-block bounds halve
-#   the d2-evaluation work vs whole-block plans
-#   (scripts/knn_plan_stats.py).
+#   one scalar compare. The kernel still supports TWO-LEVEL plans (plan_p <
+#   block_p: one plan row per sub-block in the 8-row SMEM slab), but the
+#   shipped default is WHOLE-BLOCK planning: although finer plans halve the
+#   d2-evaluation work (3.73M vs 7.38M d2/superblock at plan_p 256 vs 2048,
+#   scripts/knn_plan_stats.py), the kernel is per-visit/per-sub-block
+#   OVERHEAD-bound, not d2-bound (~2 ms of VPU math inside ~15 ms), so
+#   fewer, fatter visits win end to end. Full-train-step A/B on v5e
+#   (2026-08-19, bench.py): plan_p 256 = 137.9k, 512 = 144.3k,
+#   1024 = 148.3k, 2048 = 150.5k rays/s. An oracle simulation (perfect
+#   per-point upper bounds) showed only 12.5 -> 10.8 mean visits of
+#   headroom, so better bounds cannot buy this back.
 _BLOCK_F_LISTED = 128
 _BLOCK_P_LISTED = 2048
-# plan/threshold granularity INSIDE a grid block (two-level): the 8-row
-# SMEM plan slab carries one visit list per plan_p-point sub-block
-_PLAN_P_LISTED = 256
+# plan/threshold granularity INSIDE a grid block; = block_p means one
+# whole-block plan (the measured-fastest default). Env override for sweeps.
+_PLAN_P_LISTED = int(os.environ.get("DSNERF_KNN_PLAN_P", "2048"))
 
 
 def build_face_tiles(centroids, block_f: int = _BLOCK_F_LISTED):
@@ -364,10 +372,12 @@ def _listed_kernel(
     SMEM squared-distance threshold, reused per sub-block.
 
     Two-level structure: the grid block stays P points (one Pallas
-    prologue, one decode), but each plan_p-point sub-block walks its OWN
-    visit list under its OWN threshold — sub-block bounds are ~2x tighter
-    than whole-block bounds on the production workload
-    (scripts/knn_plan_stats.py), halving the d2-evaluation work."""
+    prologue, one decode); with plan_p < P each plan_p-point sub-block
+    walks its OWN visit list under its OWN threshold. Sub-block bounds
+    halve the d2-evaluation work (scripts/knn_plan_stats.py), but the
+    kernel is per-visit overhead-bound, so the shipped default is
+    plan_p = P (whole-block plan, n_sub=1) — see the A/B at
+    _PLAN_P_LISTED."""
 
     def tile_d2(t, px, py, pz):
         start = t * block_f

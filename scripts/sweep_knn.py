@@ -110,8 +110,14 @@ if __name__ == "__main__":
                                 plan_p=pp,
                             )
                         )
-                        ms = timeit(fn, pts_sc, iters=args.iters)
-                        got = fn(pts_sc)
+                        try:
+                            ms = timeit(fn, pts_sc, iters=args.iters)
+                            got = fn(pts_sc)
+                        except Exception as e:  # VMEM OOM at large blocks
+                            print(f"sc={sc:3d} bf={bf:4d} block_p={bp:5d} "
+                                  f"plan_p={pp:5d}: FAILED "
+                                  f"({type(e).__name__})")
+                            continue
                         if base is None:
                             base = got
                         mism = int(jnp.sum(got != base))
