@@ -293,6 +293,12 @@ _BLOCK_P_LISTED = 2048
 # plan/threshold granularity INSIDE a grid block; = block_p means one
 # whole-block plan (the measured-fastest default). Env override for sweeps.
 _PLAN_P_LISTED = int(os.environ.get("DSNERF_KNN_PLAN_P", "2048"))
+# in-kernel threshold tightening for the listed kernel. At whole-block
+# plans it skips only ~3 of 31 planned visits (plan_oracle sim) while its
+# VPU-reduction -> SMEM-scalar -> branch dependency chain serializes the
+# visit loop, so the default is OFF (visit every planned tile; exact
+# either way -- the plan is conservative). Env override for A/Bs.
+_TIGHTEN_LISTED = os.environ.get("DSNERF_KNN_TIGHTEN", "0") == "1"
 
 
 def build_face_tiles(centroids, block_f: int = _BLOCK_F_LISTED):
@@ -363,7 +369,7 @@ def listed_tables(centroids: jnp.ndarray, tile_table: jnp.ndarray):
 
 def _listed_kernel(
     pts_ref, cent_ref, list_ref, cnt_ref, lbs_ref, idx_ref,
-    best_ref, btile_ref, thresh_ref, *, block_f, n_sub, plan_p,
+    best_ref, btile_ref, thresh_ref, *, block_f, n_sub, plan_p, tighten,
 ):
     """pts (P,3) VMEM; cent (3,F_pad) VMEM; list/cnt/lbs (8,T) SMEM visit
     plans — row s is the plan for the s-th PLAN SUB-BLOCK of plan_p points
@@ -401,18 +407,36 @@ def _listed_kernel(
         d2 = tile_d2(t0, px, py, pz)
         best_ref[rows, :] = d2
         btile_ref[rows, :] = jnp.full(d2.shape, t0, jnp.int32)
-        thresh_ref[0] = jnp.max(jnp.min(d2, axis=-1))
 
-        def body(i, carry, s=s, px=px, py=py, pz=pz, rows=rows):
-            @pl.when(lbs_ref[s, i] <= thresh_ref[0])
-            def _visit():
+        if tighten:
+            thresh_ref[0] = jnp.max(jnp.min(d2, axis=-1))
+
+            def body(i, carry, s=s, px=px, py=py, pz=pz, rows=rows):
+                @pl.when(lbs_ref[s, i] <= thresh_ref[0])
+                def _visit():
+                    t = list_ref[s, i]
+                    d2t = tile_d2(t, px, py, pz)
+                    m = d2t < best_ref[rows, :]
+                    best_ref[rows, :] = jnp.where(m, d2t, best_ref[rows, :])
+                    btile_ref[rows, :] = jnp.where(m, t, btile_ref[rows, :])
+                    thresh_ref[0] = jnp.max(
+                        jnp.min(best_ref[rows, :], axis=-1))
+                return carry
+        else:
+            # no in-kernel threshold: visit EVERY planned tile. Exact — the
+            # XLA plan is conservative (every tile that could hold some
+            # point's nearest is listed); at whole-block granularity the
+            # threshold skips only ~3 of 31 planned visits (plan_oracle
+            # sim) while its SMEM-scalar dependency chain (VPU reduction ->
+            # scalar branch) serializes the loop. Dropping it also drops
+            # the per-visit (P, BF) min+max reduction.
+            def body(i, carry, s=s, px=px, py=py, pz=pz, rows=rows):
                 t = list_ref[s, i]
                 d2t = tile_d2(t, px, py, pz)
                 m = d2t < best_ref[rows, :]
                 best_ref[rows, :] = jnp.where(m, d2t, best_ref[rows, :])
                 btile_ref[rows, :] = jnp.where(m, t, btile_ref[rows, :])
-                thresh_ref[0] = jnp.max(jnp.min(best_ref[rows, :], axis=-1))
-            return carry
+                return carry
 
         jax.lax.fori_loop(1, cnt_ref[s, 0], body, 0)
 
@@ -428,12 +452,14 @@ def _listed_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_tiles", "interpret", "block_p", "block_f", "plan_p"),
+    static_argnames=(
+        "n_tiles", "interpret", "block_p", "block_f", "plan_p", "tighten",
+    ),
 )
 def _listed_search_sorted(
     pts_sorted, cent_t, tile_c, tile_r, n_tiles, interpret=False,
     block_p=_BLOCK_P_LISTED, block_f=_BLOCK_F_LISTED,
-    plan_p=_PLAN_P_LISTED,
+    plan_p=_PLAN_P_LISTED, tighten=_TIGHTEN_LISTED,
 ):
     n_pad = pts_sorted.shape[0]
     b = n_pad // block_p
@@ -513,7 +539,8 @@ def _listed_search_sorted(
 
     idx = pl.pallas_call(
         functools.partial(
-            _listed_kernel, block_f=block_f, n_sub=n_sub, plan_p=plan_p
+            _listed_kernel, block_f=block_f, n_sub=n_sub, plan_p=plan_p,
+            tighten=tighten,
         ),
         grid=(b,),
         in_specs=[
@@ -548,6 +575,7 @@ def pruned_search_listed(
     interpret: bool = False,
     block_p: int = _BLOCK_P_LISTED,
     plan_p: int = _PLAN_P_LISTED,
+    tighten: bool = _TIGHTEN_LISTED,
 ) -> jnp.ndarray:
     """List-driven exact nearest-face search for spatially-sorted points.
 
@@ -566,7 +594,7 @@ def pruned_search_listed(
     )
     idx_local = _listed_search_sorted(
         pts_p, cent_t, tile_c, tile_r, n_tiles, interpret=interpret,
-        block_p=block_p, block_f=block_f, plan_p=plan_p,
+        block_p=block_p, block_f=block_f, plan_p=plan_p, tighten=tighten,
     )[:n]
     return perm_pad[idx_local]
 
