@@ -286,19 +286,75 @@ def pruned_search_presorted(
 #   fewer, fatter visits win end to end. Full-train-step A/B on v5e
 #   (2026-08-19, bench.py): plan_p 256 = 137.9k, 512 = 144.3k,
 #   1024 = 148.3k, 2048 = 150.5k rays/s. An oracle simulation (perfect
-#   per-point upper bounds) showed only 12.5 -> 10.8 mean visits of
-#   headroom, so better bounds cannot buy this back.
+#   per-point upper bounds; scripts/knn_plan_stats.py --oracle) showed only
+#   12.5 -> 10.8 mean visits of headroom, so better bounds cannot buy this
+#   back.
 _BLOCK_F_LISTED = 128
 _BLOCK_P_LISTED = 2048
+
+
+def _env_override_int(name: str, default: int, must_divide: int) -> int:
+    """Validated integer env override (sweep knob). The value must be a
+    positive divisor of `must_divide` (the kernel asserts divisibility deep
+    inside a jitted wrapper otherwise). Logs when active so a set-but-
+    forgotten var cannot silently change production behavior."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        value = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{name}={raw!r} is not an integer; expected a positive divisor "
+            f"of {must_divide} (e.g. 256/512/1024/{must_divide})"
+        ) from None
+    if value < 1 or must_divide % value:
+        raise ValueError(
+            f"{name}={value} must be a positive divisor of {must_divide} "
+            f"(kernel sub-blocks must evenly split a grid block)"
+        )
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s=%d overrides the production default %d", name, value, default
+    )
+    return value
+
+
+def _env_override_bool(name: str, default: bool) -> bool:
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    if raw not in ("0", "1"):
+        raise ValueError(f"{name}={raw!r} must be '0' or '1'")
+    value = raw == "1"
+    if value != default:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s=%s overrides the production default %s", name, raw, default
+        )
+    return value
+
+
 # plan/threshold granularity INSIDE a grid block; = block_p means one
 # whole-block plan (the measured-fastest default). Env override for sweeps.
-_PLAN_P_LISTED = int(os.environ.get("DSNERF_KNN_PLAN_P", "2048"))
+_PLAN_P_LISTED = _env_override_int("DSNERF_KNN_PLAN_P", 2048, _BLOCK_P_LISTED)
 # in-kernel threshold tightening for the listed kernel. At whole-block
-# plans it skips only ~3 of 31 planned visits (plan_oracle sim) while its
-# VPU-reduction -> SMEM-scalar -> branch dependency chain serializes the
-# visit loop, so the default is OFF (visit every planned tile; exact
-# either way -- the plan is conservative). Env override for A/Bs.
-_TIGHTEN_LISTED = os.environ.get("DSNERF_KNN_TIGHTEN", "0") == "1"
+# plans it skips only ~3 of 31 planned visits (the oracle simulation:
+# scripts/knn_plan_stats.py --oracle) while its VPU-reduction ->
+# SMEM-scalar -> branch dependency chain serializes the visit loop, so the
+# default is OFF (visit every planned tile; exact either way -- the plan is
+# conservative). Env override for A/Bs.
+_TIGHTEN_LISTED = _env_override_bool("DSNERF_KNN_TIGHTEN", False)
+# slim (P, 1) running state vs the wide (P, BF) per-lane minima — MEASURED
+# NEGATIVE on v5e (2026-08-19, full bench step): gated 150.5k -> 67.2k
+# rays/s, exact 81.7k -> 36.2k. The per-visit cross-lane min + tie-lane
+# reductions and the (P, 1) stores (1 useful lane of each 128-wide vreg)
+# cost far more than the wide kernel's 3x (P, BF) VMEM read-modify-write —
+# the VPU is elementwise-cheap and reduction/narrow-store-expensive. Kept
+# behind this knob (default OFF) as the recorded A/B.
+_SLIM_LISTED = _env_override_bool("DSNERF_KNN_SLIM", False)
 
 
 def build_face_tiles(centroids, block_f: int = _BLOCK_F_LISTED):
@@ -367,6 +423,68 @@ def listed_tables(centroids: jnp.ndarray, tile_table: jnp.ndarray):
     return cent_t, tile_c, tile_r, perm_pad, t
 
 
+def _listed_kernel_slim(
+    pts_ref, cent_ref, list_ref, cnt_ref, lbs_ref, idx_ref,
+    best_ref, bgid_ref, *, block_f, n_sub, plan_p,
+):
+    """Slim running state: (P, 1) best distance + best GLOBAL slot id,
+    reduced per visit, instead of the wide kernel's (P, BF) running
+    minima. Each visit costs two extra cross-lane reductions (min +
+    tie-lane pick) but drops the 3x (P, BF) VMEM read-modify-write — the
+    wide kernel's visit loop is VMEM-traffic-bound, not d2-bound.
+
+    Tie semantics match the wide kernel's decode exactly: the smallest
+    (tile, lane) global slot among all slots achieving the min distance —
+    within a visit via the masked-lane min, across visits via the strict <
+    then min-on-equal update."""
+
+    def tile_d2(t, px, py, pz):
+        start = t * block_f
+        cx = cent_ref[0:1, pl.ds(start, block_f)]
+        cy = cent_ref[1:2, pl.ds(start, block_f)]
+        cz = cent_ref[2:3, pl.ds(start, block_f)]
+        dx = px - cx
+        dy = py - cy
+        dz = pz - cz
+        return dx * dx + dy * dy + dz * dz
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (plan_p, block_f), 1)
+    big_gid = jnp.int32(2 ** 30)
+
+    for s in range(n_sub):             # static unroll over sub-blocks
+        pts = pts_ref[s * plan_p:(s + 1) * plan_p, :]
+        px, py, pz = pts[:, 0:1], pts[:, 1:2], pts[:, 2:3]
+        rows = slice(s * plan_p, (s + 1) * plan_p)
+
+        def visit_min(t, px=px, py=py, pz=pz):
+            d2t = tile_d2(t, px, py, pz)
+            vmin = jnp.min(d2t, axis=-1, keepdims=True)      # (P, 1)
+            cand = jnp.where(d2t <= vmin, t * block_f + lane, big_gid)
+            vgid = jnp.min(cand, axis=-1, keepdims=True)     # (P, 1)
+            return vmin, vgid
+
+        t0 = list_ref[s, 0]
+        vmin, vgid = visit_min(t0)
+        best_ref[rows, :] = vmin
+        bgid_ref[rows, :] = vgid
+
+        def body(i, carry, s=s, rows=rows, visit_min=visit_min):
+            vmin, vgid = visit_min(list_ref[s, i])
+            old = best_ref[rows, :]
+            oldg = bgid_ref[rows, :]
+            lt = vmin < old
+            eq = vmin == old
+            best_ref[rows, :] = jnp.where(lt, vmin, old)
+            bgid_ref[rows, :] = jnp.where(
+                lt, vgid, jnp.where(eq, jnp.minimum(vgid, oldg), oldg)
+            )
+            return carry
+
+        jax.lax.fori_loop(1, cnt_ref[s, 0], body, 0)
+
+    idx_ref[:] = bgid_ref[:]
+
+
 def _listed_kernel(
     pts_ref, cent_ref, list_ref, cnt_ref, lbs_ref, idx_ref,
     best_ref, btile_ref, thresh_ref, *, block_f, n_sub, plan_p, tighten,
@@ -426,10 +544,11 @@ def _listed_kernel(
             # no in-kernel threshold: visit EVERY planned tile. Exact — the
             # XLA plan is conservative (every tile that could hold some
             # point's nearest is listed); at whole-block granularity the
-            # threshold skips only ~3 of 31 planned visits (plan_oracle
-            # sim) while its SMEM-scalar dependency chain (VPU reduction ->
-            # scalar branch) serializes the loop. Dropping it also drops
-            # the per-visit (P, BF) min+max reduction.
+            # threshold skips only ~3 of 31 planned visits (simulated:
+            # scripts/knn_plan_stats.py) while its SMEM-scalar dependency
+            # chain (VPU reduction -> scalar branch) serializes the loop.
+            # Dropping it also drops the per-visit (P, BF) min+max
+            # reduction.
             def body(i, carry, s=s, px=px, py=py, pz=pz, rows=rows):
                 t = list_ref[s, i]
                 d2t = tile_d2(t, px, py, pz)
@@ -454,12 +573,13 @@ def _listed_kernel(
     jax.jit,
     static_argnames=(
         "n_tiles", "interpret", "block_p", "block_f", "plan_p", "tighten",
+        "slim",
     ),
 )
 def _listed_search_sorted(
     pts_sorted, cent_t, tile_c, tile_r, n_tiles, interpret=False,
     block_p=_BLOCK_P_LISTED, block_f=_BLOCK_F_LISTED,
-    plan_p=_PLAN_P_LISTED, tighten=_TIGHTEN_LISTED,
+    plan_p=_PLAN_P_LISTED, tighten=_TIGHTEN_LISTED, slim=_SLIM_LISTED,
 ):
     n_pad = pts_sorted.shape[0]
     b = n_pad // block_p
@@ -537,11 +657,26 @@ def _listed_search_sorted(
         1,
     )
 
-    idx = pl.pallas_call(
-        functools.partial(
+    if slim:
+        kernel = functools.partial(
+            _listed_kernel_slim, block_f=block_f, n_sub=n_sub, plan_p=plan_p,
+        )
+        scratch = [
+            pltpu.VMEM((block_p, 1), jnp.float32),
+            pltpu.VMEM((block_p, 1), jnp.int32),
+        ]
+    else:
+        kernel = functools.partial(
             _listed_kernel, block_f=block_f, n_sub=n_sub, plan_p=plan_p,
             tighten=tighten,
-        ),
+        )
+        scratch = [
+            pltpu.VMEM((block_p, block_f), jnp.float32),
+            pltpu.VMEM((block_p, block_f), jnp.int32),
+            pltpu.SMEM((1,), jnp.float32),
+        ]
+    idx = pl.pallas_call(
+        kernel,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((block_p, 3), lambda i: (i, 0),
@@ -558,11 +693,7 @@ def _listed_search_sorted(
         out_specs=pl.BlockSpec((block_p, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((block_p, block_f), jnp.float32),
-            pltpu.VMEM((block_p, block_f), jnp.int32),
-            pltpu.SMEM((1,), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(pts_sorted, cent_t, order_s, cnt_s, lbs_s)
     return idx[:, 0]
@@ -576,6 +707,7 @@ def pruned_search_listed(
     block_p: int = _BLOCK_P_LISTED,
     plan_p: int = _PLAN_P_LISTED,
     tighten: bool = _TIGHTEN_LISTED,
+    slim: bool = _SLIM_LISTED,
 ) -> jnp.ndarray:
     """List-driven exact nearest-face search for spatially-sorted points.
 
@@ -595,6 +727,7 @@ def pruned_search_listed(
     idx_local = _listed_search_sorted(
         pts_p, cent_t, tile_c, tile_r, n_tiles, interpret=interpret,
         block_p=block_p, block_f=block_f, plan_p=plan_p, tighten=tighten,
+        slim=slim,
     )[:n]
     return perm_pad[idx_local]
 

@@ -46,10 +46,25 @@ def tile_geometry(cents, table):
     return member, lo, hi, witness
 
 
-def simulate_block(p, member, lo, hi, witness):
-    """One plan block (P, 3) -> in-kernel visit count."""
-    d_w = np.linalg.norm(p[:, None] - witness[None], axis=-1)     # (P, T)
-    u_p = d_w.min(1, keepdims=True)                               # (P, 1)
+def simulate_block(p, member, lo, hi, witness, oracle=False):
+    """One plan block (P, 3) -> in-kernel visit count.
+
+    oracle=True replaces the witness upper bound with a PERFECT per-point
+    bound (the true nearest-centroid distance) — an unattainable best case
+    that bounds how much better bounds could ever prune. The README /
+    ops/pruned_knn.py cite this mode's numbers (12.5 -> 10.8 mean visits at
+    whole-block plans) as the evidence the bound lever is closed."""
+    if oracle:
+        # true nearest-centroid distance per point, computed tile by tile
+        # to keep memory at (P, BF)
+        u_p = np.full((p.shape[0], 1), np.inf)
+        for ti in range(member.shape[0]):
+            d = p[:, None] - member[ti][None]
+            d2 = np.sum(d * d, axis=-1)
+            u_p = np.minimum(u_p, np.sqrt(d2.min(-1, keepdims=True)))
+    else:
+        d_w = np.linalg.norm(p[:, None] - witness[None], axis=-1)  # (P, T)
+        u_p = d_w.min(1, keepdims=True)                            # (P, 1)
     ex = (np.maximum(lo[None] - p[:, None], 0.0)
           + np.maximum(p[:, None] - hi[None], 0.0))               # (P, T, 3)
     lb2 = np.sum(ex * ex, axis=-1)                                # (P, T)
@@ -76,6 +91,17 @@ def simulate_block(p, member, lo, hi, witness):
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--oracle", action="store_true",
+        help="also simulate a PERFECT per-point upper bound (true nearest "
+        "distance) next to the production witness bound, quantifying the "
+        "remaining pruning headroom from better bounds",
+    )
+    cli = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -114,26 +140,31 @@ if __name__ == "__main__":
     supers = rng.choice(n_super, min(SAMPLE_SUPERBLOCKS, n_super),
                         replace=False)
 
+    bounds = [("witness", False)] + ([("oracle", True)] if cli.oracle else [])
     for bf in (128, 64):
         table = np.asarray(build_face_tiles(jnp.asarray(cents), block_f=bf))
         member, lo, hi, witness = tile_geometry(cents, table)
-        ref_work = None
-        for bp_plan in (2048, 1024, 512, 256):
-            visits = []
-            for sb in supers:
-                block = pts_np[sb * 2048: (sb + 1) * 2048]
-                for j in range(2048 // bp_plan):
-                    visits.append(simulate_block(
-                        block[j * bp_plan: (j + 1) * bp_plan],
-                        member, lo, hi, witness,
-                    ))
-            work = float(np.mean(visits)) * (2048 // bp_plan) * bp_plan * bf
-            rel = work / ref_work if ref_work else 1.0
-            if ref_work is None:
-                ref_work = work
-            print(
-                f"bf={bf:4d} bp_plan={bp_plan:5d}: "
-                f"mean_visits={np.mean(visits):6.1f} "
-                f"p90={np.percentile(visits, 90):6.1f} "
-                f"work/superblock={work/1e6:6.2f}M d2  (x{rel:.2f} vs bp=2048)"
-            )
+        for bound_name, oracle in bounds:
+            ref_work = None
+            for bp_plan in (2048, 1024, 512, 256):
+                visits = []
+                for sb in supers:
+                    block = pts_np[sb * 2048: (sb + 1) * 2048]
+                    for j in range(2048 // bp_plan):
+                        visits.append(simulate_block(
+                            block[j * bp_plan: (j + 1) * bp_plan],
+                            member, lo, hi, witness, oracle=oracle,
+                        ))
+                work = (
+                    float(np.mean(visits)) * (2048 // bp_plan) * bp_plan * bf
+                )
+                rel = work / ref_work if ref_work else 1.0
+                if ref_work is None:
+                    ref_work = work
+                print(
+                    f"bf={bf:4d} bound={bound_name:7s} bp_plan={bp_plan:5d}: "
+                    f"mean_visits={np.mean(visits):6.1f} "
+                    f"p90={np.percentile(visits, 90):6.1f} "
+                    f"work/superblock={work/1e6:6.2f}M d2"
+                    f"  (x{rel:.2f} vs bp=2048)"
+                )

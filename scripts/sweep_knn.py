@@ -98,6 +98,7 @@ if __name__ == "__main__":
         for sc in (16, 32):
             pts_sc = jax.block_until_ready(make_pts(sc=sc))
             base = None
+            base_cfg = None
             for bf in (128, 64):
                 for bp in (1024, 2048, 4096):
                     for pp in (256, 512, bp):
@@ -113,13 +114,22 @@ if __name__ == "__main__":
                         try:
                             ms = timeit(fn, pts_sc, iters=args.iters)
                             got = fn(pts_sc)
-                        except Exception as e:  # VMEM OOM at large blocks
+                        except Exception as e:  # e.g. VMEM OOM at large blocks
+                            msg = str(e).splitlines()[0][:120]
                             print(f"sc={sc:3d} bf={bf:4d} block_p={bp:5d} "
                                   f"plan_p={pp:5d}: FAILED "
-                                  f"({type(e).__name__})")
+                                  f"({type(e).__name__}: {msg})")
                             continue
                         if base is None:
                             base = got
+                            base_cfg = (bf, bp, pp)
+                            if base_cfg != (128, 1024, 256):
+                                print(
+                                    "NOTE: earlier configs failed; mismatch "
+                                    f"counts compare against bf={bf} "
+                                    f"block_p={bp} plan_p={pp}, not the "
+                                    "first-listed config"
+                                )
                         mism = int(jnp.sum(got != base))
                         note = f"  mism={mism}" if mism else ""
                         print(f"sc={sc:3d} bf={bf:4d} block_p={bp:5d} "

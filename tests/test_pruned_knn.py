@@ -14,6 +14,7 @@ import pytest
 from dual_space_nerf_tpu.data.synthetic import make_scene
 from dual_space_nerf_tpu.ops import build_face_clusters, face_centroids
 from dual_space_nerf_tpu.ops.pruned_knn import (
+
     morton_order,
     nearest_face_pruned,
     pruned_search_presorted,
@@ -230,6 +231,10 @@ from dual_space_nerf_tpu.ops.pruned_knn import (  # noqa: E402
     pruned_search_listed,
 )
 
+# interpret-mode Pallas / torch-reference parity: the heavy tier.
+# Fast CI runs 'pytest -m "not slow"'; the full battery runs everything.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def smpl_tiles(smpl_like):
@@ -242,26 +247,32 @@ def _morton_sorted(pts):
     return pts[order], order
 
 
-def test_listed_near_surface(smpl_like, smpl_tiles, rng_np):
+# all kernel branches: slim (the production default), wide, and wide+tighten
+# (kept for A/Bs — exact either way; parametrizing stops silent rot)
+@pytest.mark.parametrize("slim,tighten", [(True, False), (False, False),
+                                          (False, True)])
+def test_listed_near_surface(smpl_like, smpl_tiles, rng_np, slim, tighten):
     scene, cents, _ = smpl_like
     base = scene.verts_world[rng_np.integers(0, len(scene.verts_world), 700)]
     pts = (base + 0.05 * rng_np.standard_normal((700, 3))).astype(np.float32)
     pts_s, _ = _morton_sorted(pts)
     got = pruned_search_listed(
         jnp.asarray(pts_s), jnp.asarray(cents), smpl_tiles,
-        interpret=True, block_p=256,
+        interpret=True, block_p=256, tighten=tighten, slim=slim,
     )
     assert_matches_brute(pts_s, cents, got)
 
 
-def test_listed_uniform_box(smpl_like, smpl_tiles, rng_np):
+@pytest.mark.parametrize("slim,tighten", [(True, False), (False, False),
+                                          (False, True)])
+def test_listed_uniform_box(smpl_like, smpl_tiles, rng_np, slim, tighten):
     scene, cents, _ = smpl_like
     lo, hi = cents.min(0) - 1.0, cents.max(0) + 1.0
     pts = rng_np.uniform(lo, hi, (512, 3)).astype(np.float32)
     pts_s, _ = _morton_sorted(pts)
     got = pruned_search_listed(
         jnp.asarray(pts_s), jnp.asarray(cents), smpl_tiles,
-        interpret=True, block_p=256,
+        interpret=True, block_p=256, tighten=tighten, slim=slim,
     )
     assert_matches_brute(pts_s, cents, got)
 
@@ -423,3 +434,35 @@ def test_listed_search_under_shard_map(smpl_like, smpl_tiles, rng_np):
         brute_dist(pts, cents, got), brute_dist(pts, cents, want), atol=1e-6
     )
     assert_matches_brute(pts, cents, got)
+
+
+# ---------------------------------------------------------------------------
+# env-override validation (sweep knobs must fail loudly, not deep in a jit)
+# ---------------------------------------------------------------------------
+def test_env_override_validation(monkeypatch):
+    from dual_space_nerf_tpu.ops.pruned_knn import (
+        _env_override_bool,
+        _env_override_int,
+    )
+
+    assert _env_override_int("DSNERF_TEST_UNSET", 2048, 2048) == 2048
+    monkeypatch.setenv("DSNERF_TEST_PLAN", "512")
+    assert _env_override_int("DSNERF_TEST_PLAN", 2048, 2048) == 512
+    monkeypatch.setenv("DSNERF_TEST_PLAN", "768")  # not a divisor of 2048
+    with pytest.raises(ValueError, match="DSNERF_TEST_PLAN"):
+        _env_override_int("DSNERF_TEST_PLAN", 2048, 2048)
+    monkeypatch.setenv("DSNERF_TEST_PLAN", "abc")
+    with pytest.raises(ValueError, match="not an integer"):
+        _env_override_int("DSNERF_TEST_PLAN", 2048, 2048)
+    monkeypatch.setenv("DSNERF_TEST_PLAN", "0")
+    with pytest.raises(ValueError, match="positive divisor"):
+        _env_override_int("DSNERF_TEST_PLAN", 2048, 2048)
+
+    assert _env_override_bool("DSNERF_TEST_UNSET_B", True) is True
+    monkeypatch.setenv("DSNERF_TEST_TG", "1")
+    assert _env_override_bool("DSNERF_TEST_TG", False) is True
+    monkeypatch.setenv("DSNERF_TEST_TG", "0")
+    assert _env_override_bool("DSNERF_TEST_TG", True) is False
+    monkeypatch.setenv("DSNERF_TEST_TG", "yes")
+    with pytest.raises(ValueError, match="must be '0' or '1'"):
+        _env_override_bool("DSNERF_TEST_TG", False)
