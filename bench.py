@@ -10,7 +10,12 @@ shipped ZJU-313 configuration — on whatever accelerator JAX provides:
   SpaceNet + vjp normals (second-order) -> LightingMLP -> composite ->
   MSE loss -> grads -> Adam update
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", "exact"}.
+`value` is the production (gated) configuration; `exact` carries the same
+measurement for the reference-EXACT semantics (SHADE_TOPK=0, no face reuse:
+every sample shaded, canonical space re-searched per point — matching
+`/root/reference/can_render.py:97-134`, `model/spacenet.py:278-298`), so the
+apples-to-apples number is always published next to the headline.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); its torch
 single-GPU pipeline logs rays/s via `trainer.py:97-108`. We use an assumed
@@ -127,33 +132,36 @@ def main():
     import sys
     import traceback
 
-    attempts = [settings]
-    for impl in ("pruned", "pallas", "xla"):
-        if impl != settings.knn_impl:
-            attempts.append(dataclasses.replace(settings, knn_impl=impl))
-    if settings.fused_mlp:
-        attempts.append(
-            dataclasses.replace(settings, knn_impl="xla", fused_mlp=False)
-        )
-
-    note = None
-    rays_per_s = None
-    for i, s in enumerate(attempts):
-        try:
-            rays_per_s = run(s)
+    def measure(primary):
+        attempts = [primary]
+        for impl in ("pruned", "pallas", "xla"):
+            if impl != primary.knn_impl:
+                attempts.append(dataclasses.replace(primary, knn_impl=impl))
+        if primary.fused_mlp:
+            attempts.append(
+                dataclasses.replace(primary, knn_impl="xla", fused_mlp=False)
+            )
+        for i, s in enumerate(attempts):
+            try:
+                rays_per_s = run(s)
+            except Exception:
+                traceback.print_exc(file=sys.stderr)
+                print(
+                    f"bench: attempt {i} (knn_impl={s.knn_impl}, "
+                    f"fused_mlp={s.fused_mlp}) failed; trying next",
+                    file=sys.stderr,
+                )
+                continue
+            note = None
             if i > 0:
                 note = (
                     f"fallback: knn_impl={s.knn_impl} fused_mlp={s.fused_mlp}"
                     f" (primary config failed; see stderr)"
                 )
-            break
-        except Exception:
-            traceback.print_exc(file=sys.stderr)
-            print(
-                f"bench: attempt {i} (knn_impl={s.knn_impl}, "
-                f"fused_mlp={s.fused_mlp}) failed; trying next",
-                file=sys.stderr,
-            )
+            return rays_per_s, note
+        return None, None
+
+    rays_per_s, note = measure(settings)
     if rays_per_s is None:
         raise SystemExit("bench: every pipeline configuration failed")
 
@@ -165,6 +173,29 @@ def main():
     }
     if note:
         record["note"] = note
+
+    # Reference-EXACT semantics next to the headline (unless the run above
+    # already WAS exact, or the sweep is explicitly pinned via env).
+    is_exact = settings.shade_topk == 0 and not settings.reuse_warp_faces
+    if not is_exact and os.environ.get("BENCH_EXACT", "1") == "1":
+        exact_settings = dataclasses.replace(
+            settings,
+            shade_topk=0,
+            reuse_warp_faces=False,
+            fused_mlp=os.environ.get("BENCH_EXACT_FUSED", "0") == "1",
+        )
+        exact_rays, exact_note = measure(exact_settings)
+        if exact_rays is not None:
+            record["exact"] = {
+                "value": round(exact_rays, 1),
+                "vs_baseline": round(
+                    exact_rays / ASSUMED_REFERENCE_RAYS_PER_S, 2
+                ),
+                "semantics": "SHADE_TOPK=0, no face reuse "
+                             "(reference can_render.py:97-134)",
+            }
+            if exact_note:
+                record["exact"]["note"] = exact_note
     print(json.dumps(record))
 
 

@@ -55,8 +55,11 @@ _C.MODEL.REUSE_WARP_FACES = False
 # runs with weights + one activation block resident in VMEM. Exact vs the
 # jax.vjp path (f32 roundoff); requires the default architecture
 # (CODE_DIM=8, backbone 256, essence 3, PE L=10) — silently falls back to
-# the XLA path otherwise.
-_C.MODEL.FUSED_MLP = False
+# the XLA path otherwise. "auto" (default) = ON exactly where the v5e A/Bs
+# show it wins: on TPU with full (SHADE_TOPK=0) shading — i.e. eval renders
+# and reference-exact training; OFF for gated training and off-TPU.
+# "on"/"off" force it.
+_C.MODEL.FUSED_MLP = "auto"
 _C.MODEL.FUSED_BLOCK = 512         # points per fused-kernel grid block
 # one-pass bf16 MXU feeds inside the fused kernels (XLA-DEFAULT numerics
 # for the Dense layers they replace); measured perf-neutral on v5e, so the

@@ -110,6 +110,26 @@ class LightState(NamedTuple):
         )
 
 
+def _resolve_fused(cfg_value, shade_topk: int) -> bool:
+    """MODEL.FUSED_MLP policy: "auto" enables the fused kernel pair exactly
+    where the v5e A/Bs show it wins — TPU backend + full (SHADE_TOPK=0)
+    shading. Gated training keeps the XLA path (density-only passes are
+    cheap there and the fused backward's VMEM accumulators serialize the
+    grid; README's fused A/B)."""
+    if isinstance(cfg_value, str):
+        v = cfg_value.lower()
+        if v == "auto":
+            return shade_topk == 0 and jax.default_backend() == "tpu"
+        if v in ("on", "true", "1"):
+            return True
+        if v in ("off", "false", "0"):
+            return False
+        raise ValueError(
+            f"MODEL.FUSED_MLP={cfg_value!r}: expected auto/on/off"
+        )
+    return bool(cfg_value)
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderSettings:
     """Static (compile-time) pipeline configuration."""
@@ -153,6 +173,14 @@ class RenderSettings:
     # v5e's 16 GB fits the full second-order graph at SMPL scale; remat
     # costs ~5% step time and is only needed for much larger scenes
     remat: bool = False
+    # FULL-shading (shade_topk=0) dataflow: "faceid" exchanges world points
+    # + int32 face ids between stages and replays the barycentric transport
+    # fused inside each chunk body (the gated path's trick — avoids
+    # ~14 ms/step of gather-rooted HBM writes on v5e); "materialized" keeps
+    # the reference-structured top-level warp + triangle gathers (the
+    # CPU/golden route — XLA:CPU's LLVM pipeline blows up compiling fused
+    # gathers inside lax.map at large chunks). "auto" = faceid on TPU.
+    full_dataflow: str = "auto"
     # consecutive samples per ray kept adjacent in the block-coherent point
     # layout (the kernel block is then block_p/block_sc adjacent rays x
     # block_sc samples); swept end-to-end on v5e at the ZJU-313 workload
@@ -166,6 +194,7 @@ class RenderSettings:
 
     @classmethod
     def from_cfg(cls, cfg) -> "RenderSettings":
+        shade_topk = max(getattr(cfg.MODEL, "SHADE_TOPK", 0), 0)
         return cls(
             n_samples=cfg.MODEL.COARSE_RAY_SAMPLING,
             n_fine=max(cfg.MODEL.FINE_RAY_SAMPLING, 0),
@@ -178,8 +207,10 @@ class RenderSettings:
             mlp_chunk=cfg.MODEL.MLP_CHUNK,
             knn_impl=cfg.MODEL.KNN_IMPL,
             remat=cfg.MODEL.REMAT,
-            shade_topk=max(getattr(cfg.MODEL, "SHADE_TOPK", 0), 0),
-            fused_mlp=bool(getattr(cfg.MODEL, "FUSED_MLP", False)),
+            shade_topk=shade_topk,
+            fused_mlp=_resolve_fused(
+                getattr(cfg.MODEL, "FUSED_MLP", "auto"), shade_topk
+            ),
             fused_block=int(getattr(cfg.MODEL, "FUSED_BLOCK", 512)),
             fused_fast=bool(getattr(cfg.MODEL, "FUSED_FAST", False)),
         )
@@ -617,17 +648,60 @@ def _render_with_z(
             pose_feat, from_blocked if blocked else None,
         )
 
-    # FULL-shading path: warp + triangle gathers materialize at the top
-    # level, exactly like the reference's structure. (The GATED path above
-    # instead exchanges int32 face ids and replays the warp fused inside
-    # each chunk body — see _gated_shading — which saves ~14 ms/step of
-    # gather-rooted HBM writes on TPU. The same fused-gather-inside-lax.map
-    # graph makes XLA:CPU's LLVM pipeline blow up at large chunk sizes
-    # (minutes-long compiles), so the full path — the CPU/golden-test and
-    # SHADE_TOPK=0 route — keeps the materialized dataflow.)
-    pts_c_flat, tmask_flat, _, _ = warp_world_to_canonical(
-        pts_w_flat, mesh, centroids_w, settings, fidx=fidx_w,
+    if _use_fused(settings, model, code):
+        # Reference-EXACT shading of every sample, on the gated path's
+        # face-id dataflow: the fused kernel never materializes backbone
+        # activations, so the whole warp -> posenc -> network -> transport
+        # -> lighting chain runs as ONE top-level XLA expression (no
+        # lax.map) with every face-row gather fused into its elementwise
+        # consumers. This is the production full-shading (SHADE_TOPK=0)
+        # configuration on TPU; the non-fused path below keeps the
+        # reference-structured materialized dataflow (the CPU/golden route).
+        return _full_shading_fused(
+            params, model, batch, mesh, settings, light, rng_noise, train,
+            z_vals, pts_w_flat, dir_w_flat, fidx_w, centroids_c, code,
+            pose_feat, from_blocked if blocked else None,
+        )
+
+    # FULL-shading path. Two dataflows behind identical per-point math:
+    #
+    # - TPU: the gated path's FACE-ID dataflow — stages exchange world
+    #   points + int32 face ids, and each chunk body replays the cheap
+    #   barycentric transport (_warp_chunk) + gathers its own triangle rows,
+    #   where XLA fuses them into elementwise consumers. Materializing the
+    #   (N, 18) triangle rows at top level instead costs ~14 ms/step of
+    #   gather-rooted HBM writes on v5e (measured round 2; re-measured for
+    #   the exact config in round 3: 69.6 -> ~57 ms/step). Only the (N, 3)
+    #   warped points materialize — the canonical KNN needs them as input.
+    #
+    # - CPU: warp + triangle gathers materialize at the top level, exactly
+    #   like the reference's structure. The fused-gather-inside-lax.map
+    #   graph makes XLA:CPU's LLVM pipeline blow up at large chunk sizes
+    #   (minutes-long compiles), so the CPU/golden-test route keeps the
+    #   materialized dataflow.
+    faces_wc2 = _faces_table(mesh)
+    use_faceid = settings.full_dataflow == "faceid" or (
+        settings.full_dataflow == "auto" and on_tpu
     )
+
+    if use_faceid:
+        # The (N, 3) canonical points exist ONLY as the canonical KNN's
+        # input (skipped entirely under reuse_warp_faces), and they
+        # materialize chunk-by-chunk from inside lax.map — the per-chunk
+        # output is a sequential dynamic-update-slice with the face-row
+        # gather fused inside the body, never a top-level gather-rooted
+        # HBM write.
+        pts_c_flat = None
+        if not settings.reuse_warp_faces:
+            pts_c_flat = _chunked_points(
+                lambda a: _warp_chunk(a[0], a[1], faces_wc2, settings)[0],
+                n, min(settings.mlp_chunk, n), (pts_w_flat, fidx_w),
+            )
+        tmask_flat = None  # recomputed fused inside every chunk body
+    else:
+        pts_c_flat, tmask_flat, _, _ = warp_world_to_canonical(
+            pts_w_flat, mesh, centroids_w, settings, fidx=fidx_w,
+        )
 
     if settings.reuse_warp_faces:
         cidx = fidx_w
@@ -651,33 +725,61 @@ def _render_with_z(
         cidx = nearest_face(
             pts_c_flat, centroids_c, settings.knn_impl, mesh.cluster_table
         )
-    faces_wc2 = _faces_table(mesh)
-    tris_wc2 = faces_wc2[cidx]                                      # (N, 18)
-    tris_w2_flat = tris_wc2[:, :9].reshape(-1, 3, 3)
-    tris_c2_flat = tris_wc2[:, 9:].reshape(-1, 3, 3)
 
     # ---- parameter-dependent stage: the networks (chunked + remat) ----
-    def chunk_fn(chunk_args):
-        pw, dw, pc, tmask, tc2, tw2 = chunk_args
-        # Inference-time light-space manipulation of the *world* coords seen
-        # by the LightingMLP (`spacenet.py:254-263`).
-        xy = (pw[:, :2] - light.rot_center[:2]) @ light.rot + light.rot_center[:2]
-        pw_light = jnp.concatenate([xy, pw[:, 2:]], axis=-1) + light.light_bias
-        pf = jnp.broadcast_to(pose_feat, (pw.shape[0], pose_feat.shape[-1]))
-        color, sigma = _point_network(
-            params, model, pw_light, pc, dw, code, pf, light.code_scale,
-            tc2, tw2, settings,
-        )
-        sigma = jnp.where(tmask, 0.0, sigma)
-        return color, sigma
+    if use_faceid:
+        def chunk_fn(chunk_args):
+            pw, dw, fi, ci = chunk_args
+            # replay the warp from face ids (elementwise after a fused
+            # gather — bit-identical to the materialized pts_c)
+            pc, tmask, _, _ = _warp_chunk(pw, fi, faces_wc2, settings)
+            tris_wc2 = faces_wc2[ci]                         # fused gather
+            tw2 = tris_wc2[:, :9].reshape(-1, 3, 3)
+            tc2 = tris_wc2[:, 9:].reshape(-1, 3, 3)
+            xy = (pw[:, :2] - light.rot_center[:2]) @ light.rot \
+                + light.rot_center[:2]
+            pw_light = jnp.concatenate(
+                [xy, pw[:, 2:]], axis=-1
+            ) + light.light_bias
+            pf = jnp.broadcast_to(pose_feat, (pw.shape[0], pose_feat.shape[-1]))
+            color, sigma = _point_network(
+                params, model, pw_light, pc, dw, code, pf, light.code_scale,
+                tc2, tw2, settings,
+            )
+            sigma = jnp.where(tmask, 0.0, sigma)
+            return color, sigma
+
+        chunk_args = (pts_w_flat, dir_w_flat, fidx_w, cidx)
+    else:
+        tris_wc2 = faces_wc2[cidx]                                  # (N, 18)
+        tris_w2_flat = tris_wc2[:, :9].reshape(-1, 3, 3)
+        tris_c2_flat = tris_wc2[:, 9:].reshape(-1, 3, 3)
+
+        def chunk_fn(chunk_args):
+            pw, dw, pc, tmask, tc2, tw2 = chunk_args
+            # Inference-time light-space manipulation of the *world* coords
+            # seen by the LightingMLP (`spacenet.py:254-263`).
+            xy = (pw[:, :2] - light.rot_center[:2]) @ light.rot \
+                + light.rot_center[:2]
+            pw_light = jnp.concatenate(
+                [xy, pw[:, 2:]], axis=-1
+            ) + light.light_bias
+            pf = jnp.broadcast_to(pose_feat, (pw.shape[0], pose_feat.shape[-1]))
+            color, sigma = _point_network(
+                params, model, pw_light, pc, dw, code, pf, light.code_scale,
+                tc2, tw2, settings,
+            )
+            sigma = jnp.where(tmask, 0.0, sigma)
+            return color, sigma
+
+        chunk_args = (pts_w_flat, dir_w_flat, pts_c_flat, tmask_flat,
+                      tris_c2_flat, tris_w2_flat)
 
     if settings.remat:
         chunk_fn = jax.checkpoint(chunk_fn)
 
     color_flat, sigma_flat = _chunked_points(
-        chunk_fn, n, min(settings.mlp_chunk, n),
-        (pts_w_flat, dir_w_flat, pts_c_flat, tmask_flat,
-         tris_c2_flat, tris_w2_flat),
+        chunk_fn, n, min(settings.mlp_chunk, n), chunk_args,
     )
 
     if blocked:
@@ -902,6 +1004,160 @@ def _gated_shading(
     dist_k = jnp.abs(samples - top_idx[:, None, :])           # (R, S, K)
     nearest = jnp.argmin(dist_k, axis=-1)                     # (R, S)
     color = jnp.take_along_axis(color_k, nearest[..., None], axis=1)
+
+    out = composite(
+        color,
+        sigma,
+        z_vals,
+        batch.ray_d,
+        noise_std=settings.raw_noise_std if train else 0.0,
+        rng=rng_noise,
+        white_bkgd=settings.white_bkgd,
+    )
+    return {
+        "color": out.rgb,
+        "disp_map": out.disp,
+        "acc_map": out.acc,
+        "depth_map": out.depth,
+        "weights": out.weights,
+        "z_vals": z_vals,
+    }
+
+
+def _search_canonical(
+    pc: jnp.ndarray,
+    centroids_c: jnp.ndarray,
+    mesh: MeshBundle,
+    settings: RenderSettings,
+    group: int = 1,
+) -> jnp.ndarray:
+    """Canonical-space nearest-face search with the settings' impl choice.
+
+    pc must be spatially coherent for the listed/pruned kernels (warped
+    points inherit the world layout's block coherence). group: sub-group
+    size for the "grouped" impl (spatially adjacent members only).
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if mesh.tile_table is not None and (
+        settings.knn_impl == "listed"
+        or (settings.knn_impl == "auto" and on_tpu)
+    ):
+        return pruned_search_listed(
+            pc, centroids_c, mesh.tile_table, interpret=not on_tpu
+        )
+    if mesh.face_perm is not None and (
+        settings.knn_impl == "pruned"
+        or (settings.knn_impl == "auto" and on_tpu)
+    ):
+        return pruned_search_presorted(
+            pc, centroids_c, mesh.face_perm, interpret=not on_tpu
+        )
+    if settings.knn_impl == "grouped" and mesh.cluster_table is not None:
+        n = pc.shape[0]
+        return nearest_face_grouped(
+            pc.reshape(n // group, group, 3), centroids_c, mesh.cluster_table
+        ).reshape(n)
+    return nearest_face(
+        pc, centroids_c, settings.knn_impl, mesh.cluster_table
+    )
+
+
+def _full_shading_fused(
+    params,
+    model,
+    batch: RayBatch,
+    mesh: MeshBundle,
+    settings: RenderSettings,
+    light: LightState,
+    rng_noise,
+    train: bool,
+    z_vals: jnp.ndarray,      # (R, S)
+    pts_w_flat: jnp.ndarray,  # (N, 3) world points (possibly blocked order)
+    dir_w_flat: jnp.ndarray,  # (N, 3) world view dirs (same order)
+    fidx_flat: jnp.ndarray,   # (N,) nearest world-face ids (same order)
+    centroids_c: jnp.ndarray,
+    code,
+    pose_feat: jnp.ndarray,   # (16,)
+    from_blocked,             # None, or the blocked->original reorder fn
+) -> dict[str, jnp.ndarray]:
+    """Reference-exact full shading via the fused SpaceNet kernels.
+
+    Semantics match the reference exactly (`can_render.py:97-134`,
+    `model/spacenet.py:210-298`): density, essence, vjp normal, and
+    lighting are evaluated at EVERY sample; the canonical nearest-face
+    search re-runs on the warped points (unless reuse_warp_faces).
+
+    Dataflow matches _gated_shading, not the materialized full path: the
+    fused kernel pair (ops/fused_mlp.py) keeps all (N, 256) backbone
+    activations in VMEM, so nothing here needs lax.map microbatching —
+    the transport/lighting tensors that remain are (N, small) and their
+    face-row gathers fuse into elementwise consumers. Measured on v5e at
+    the ZJU-313 train workload: 81.0k rays/s (materialized XLA path) ->
+    see README perf table for this path's number.
+    """
+    r, s = z_vals.shape
+    n = r * s
+    faces_wc = _faces_table(mesh)
+
+    # warp: only (N, 3) canonical points + (N,) mask materialize
+    pc_flat, tmask_flat, _, _ = _warp_chunk(
+        pts_w_flat, fidx_flat, faces_wc, settings
+    )
+
+    # canonical re-search (the reference's, `spacenet.py:278-298`)
+    if settings.reuse_warp_faces:
+        cidx = fidx_flat
+    else:
+        cidx = _search_canonical(pc_flat, centroids_c, mesh, settings)
+
+    # fused density + essence + d(sigma)/d(pos) over ALL samples
+    weights = extract_nerf_weights(params["params"]["nerf"])
+    pe = posenc(pc_flat.astype(jnp.float32), 10)
+    cp = jnp.concatenate(
+        [
+            jnp.broadcast_to(code * light.code_scale, (n, 8)),
+            jnp.broadcast_to(
+                pose_feat, (n, pose_feat.shape[-1])
+            ).astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    sigma_flat, essence, normal_local = fused_sigma_essence_normal(
+        weights, pe, cp, block=settings.fused_block,
+        interpret=jax.default_backend() != "tpu",
+        fast=settings.fused_fast,
+    )
+    sigma_flat = jnp.where(tmask_flat, 0.0, sigma_flat)
+
+    # canonical -> world normal transport (gathers fuse into the transport)
+    tris_wc2 = faces_wc[cidx]                                   # (N, 18)
+    tw2 = tris_wc2[:, :9].reshape(-1, 3, 3)
+    tc2 = tris_wc2[:, 9:].reshape(-1, 3, 3)
+    uv, h = project_point2mesh(pc_flat, tc2)
+    start_w = barycentric_map(uv, h, tw2)
+    uv2, h2 = project_point2mesh(pc_flat + normal_local, tc2)
+    end_w = barycentric_map(uv2, h2, tw2)
+    nrm = end_w - start_w
+    normal_w = nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12
+    )
+
+    # light-space manipulation + LightingMLP (`spacenet.py:254-265`)
+    xy = (
+        pts_w_flat[:, :2] - light.rot_center[:2]
+    ) @ light.rot + light.rot_center[:2]
+    pw_light = jnp.concatenate(
+        [xy, pts_w_flat[:, 2:]], axis=-1
+    ) + light.light_bias
+    color_flat = model.apply(
+        params, normal_w, pw_light, dir_w_flat, essence, method="lighting"
+    )
+
+    if from_blocked is not None:
+        color_flat = from_blocked(color_flat)
+        sigma_flat = from_blocked(sigma_flat)
+    color = color_flat.reshape(r, s, 3)
+    sigma = sigma_flat.reshape(r, s)
 
     out = composite(
         color,
