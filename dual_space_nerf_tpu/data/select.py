@@ -64,6 +64,12 @@ def select_dataset(cfg, train_nrays=2000, formal_test=False):
             w=getattr(ds, "SYNTHETIC_SIZE", 96),
         )
         val_offset = getattr(ds, "SYNTHETIC_VAL_VIEW_OFFSET", 0.0)
+        # HUMAN selects the essence field: "capsule" = smooth (default),
+        # "capsule_hf" = high-frequency textured (the harder quality-gate
+        # scene for approximation A/Bs; data/synthetic.py emission_color)
+        size["essence"] = (
+            "textured" if ds.HUMAN in ("capsule_hf", "textured") else "smooth"
+        )
         train = SyntheticDataset(split="train", nrays=train_nrays, **size)
         val = SyntheticDataset(split="val", view_offset=val_offset, **size)
         if formal_test:

@@ -115,6 +115,25 @@ def make_scene(
     return SyntheticScene(verts_world, verts_cano, faces, poses, K, R, T, bounds)
 
 
-def emission_color(pts_cano: np.ndarray) -> np.ndarray:
-    """Smooth ground-truth color field on canonical coordinates."""
-    return 0.5 + 0.5 * np.sin(3.0 * pts_cano + np.array([0.0, 2.1, 4.2]))
+def emission_color(pts_cano: np.ndarray, kind: str = "smooth") -> np.ndarray:
+    """Ground-truth color field on canonical coordinates.
+
+    kind="smooth": low-frequency sin field (the default capsule).
+    kind="textured": adds high-frequency axial stripes and an azimuthal
+    checker on top of the smooth base — exercises exactly the detail regime
+    that importance-gated shading approximates, for harder quality A/Bs
+    (the reference's real workload is ~28+ dB ZJU footage, not a smooth
+    blob).
+    """
+    base = 0.5 + 0.5 * np.sin(3.0 * pts_cano + np.array([0.0, 2.1, 4.2]))
+    if kind == "smooth":
+        return base
+    if kind != "textured":
+        raise ValueError(f"unknown emission kind {kind!r}")
+    x, y, z = pts_cano[..., 0], pts_cano[..., 1], pts_cano[..., 2]
+    stripes = 0.25 * np.sin(24.0 * z)
+    checker = 0.15 * np.sign(
+        np.sin(8.0 * np.arctan2(y, x)) * np.sin(16.0 * z + 0.7)
+    )
+    out = base + (stripes + checker)[..., None] * np.array([1.0, -0.8, 0.6])
+    return np.clip(out, 0.0, 1.0)

@@ -17,7 +17,8 @@ from .rays import sample_rays
 from .synthetic import SyntheticScene, emission_color, make_scene
 
 
-def splat_image(scene: SyntheticScene, h: int, w: int, radius: int = 2):
+def splat_image(scene: SyntheticScene, h: int, w: int, radius: int = 2,
+                essence: str = "smooth"):
     """Project verts, z-buffer splat emission colors -> (img, mask)."""
     verts = scene.verts_world
     cam = verts @ scene.R.T + scene.T.ravel()
@@ -27,7 +28,7 @@ def splat_image(scene: SyntheticScene, h: int, w: int, radius: int = 2):
 
     img = np.zeros((h, w, 3), np.float32)
     zbuf = np.full((h, w), np.inf, np.float32)
-    colors = emission_color(scene.verts_cano).astype(np.float32)
+    colors = emission_color(scene.verts_cano, kind=essence).astype(np.float32)
     order = np.argsort(-z)  # far to near: near splats overwrite
     ys = pix[order, 1]
     xs = pix[order, 0]
@@ -51,11 +52,12 @@ class SyntheticDataset:
 
     def __init__(
         self, split="train", nrays=1024, n_frames=2, n_views=3,
-        h=96, w=96, seed=0, view_offset=0.0,
+        h=96, w=96, seed=0, view_offset=0.0, essence="smooth",
     ):
         self.split = split
         self.nrays = nrays if split == "train" else -1
         self.h, self.w = h, w
+        self.essence = essence
         self.rng = np.random.default_rng(seed)
         self.items = []
         for f in range(n_frames):
@@ -75,7 +77,7 @@ class SyntheticDataset:
 
     def __getitem__(self, idx):
         frame, view, scene = self.items[idx]
-        img, mask = splat_image(scene, self.h, self.w)
+        img, mask = splat_image(scene, self.h, self.w, essence=self.essence)
         rgb, ray_o, ray_d, near, far, coord, mask_at_box, bound_mask = sample_rays(
             img, scene.K, scene.R, scene.T, scene.bounds,
             mask=mask, face_mask=None, nrays=self.nrays, rng=self.rng,

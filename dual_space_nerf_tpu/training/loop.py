@@ -12,6 +12,8 @@ step stream never stalls.
 
 from __future__ import annotations
 
+import logging
+import os
 import time
 
 import jax
@@ -22,6 +24,28 @@ from ..renderer import RenderSettings
 from .checkpoint import Checkpointer, PeriodicCheckpointer
 from .optim import make_optimizer
 from .state import create_train_state, make_train_step
+
+
+def _train_seed() -> int:
+    """The reference seeds everything with 233 (`main.py:22-26`).
+    DSNERF_SEED overrides it for multi-seed quality A/Bs
+    (scripts/ab_convergence.py --seeds); validated so a typo fails at
+    startup, and logged so a set-but-forgotten var cannot silently change
+    training."""
+    raw = os.environ.get("DSNERF_SEED")
+    if raw is None:
+        return 233
+    try:
+        seed = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"DSNERF_SEED={raw!r} is not an integer"
+        ) from None
+    if seed != 233:
+        logging.getLogger(__name__).warning(
+            "DSNERF_SEED=%d overrides the reference seed 233", seed
+        )
+    return seed
 
 
 def do_train(
@@ -41,7 +65,8 @@ def do_train(
     """Returns the final TrainState."""
     settings = RenderSettings.from_cfg(cfg)
     tx, lr_fn = make_optimizer(cfg)
-    state = create_train_state(model, tx, jax.random.key(233))
+    seed = _train_seed()
+    state = create_train_state(model, tx, jax.random.key(seed))
     nrays = cfg.SOLVER.TRAIN_NRAYS
 
     # resolve the effective epoch count BEFORE building the periodic
@@ -65,7 +90,7 @@ def do_train(
 
     verts_cano = train_set.canonical_vertex
     log_period = cfg.SOLVER.LOG_PERIOD
-    rng = jax.random.key(233)
+    rng = jax.random.key(seed)
 
     # batch conversion (pixel sort, padding, device puts) runs inside the
     # prefetch workers so host prep overlaps the device step
@@ -77,7 +102,7 @@ def do_train(
 
     loader = PrefetchLoader(
         train_set, shuffle=True,
-        num_workers=cfg.DATALOADER.NUM_WORKERS, seed=233,
+        num_workers=cfg.DATALOADER.NUM_WORKERS, seed=seed,
         transform=to_device,
     )
 

@@ -1,15 +1,20 @@
 #!/usr/bin/env python3
 """Training-quality A/B harness on the synthetic dataset.
 
-Trains one run per MODEL-override variant through the real CLI (fresh
-subprocess each, so TPU memory and jit caches reset), then re-evaluates
-every final checkpoint with EXACT reference-semantics shading
+Trains one run per (MODEL-override variant x seed) through the real CLI
+(fresh subprocess each, so TPU memory and jit caches reset), then
+re-evaluates every final checkpoint with EXACT reference-semantics shading
 (SHADE_TOPK=0, REUSE_WARP_FACES off) on the held-out val views, reporting
-masked PSNR / SSIM. This is the harness behind the README's quality
-evidence for approximation knobs (SHADE_TOPK, REUSE_WARP_FACES).
+masked PSNR / SSIM as mean +/- std over seeds. This is the harness behind
+the README's quality evidence for approximation knobs (SHADE_TOPK,
+REUSE_WARP_FACES).
+
+Scenes: --human capsule (smooth essence) or capsule_hf (high-frequency
+textured essence — the harder gate; data/synthetic.py emission_color).
 
 Usage:
-  python scripts/ab_convergence.py --epochs 60 \
+  python scripts/ab_convergence.py --epochs 60 --seeds 233,17,4096 \
+      --human capsule_hf \
       --variant exact "" \
       --variant reuse "REUSE_WARP_FACES: true" \
       --variant g8 "SHADE_TOPK: 8"
@@ -41,7 +46,7 @@ MODEL:
 {model_overrides}
 DATASETS:
   TYPE: "synthetic"
-  HUMAN: "capsule"
+  HUMAN: "{human}"
 DATALOADER:
   NUM_WORKERS: 2
 SOLVER:
@@ -64,36 +69,26 @@ TEST:
 """
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=60)
-    ap.add_argument(
-        "--variant", nargs=2, action="append", metavar=("NAME", "YAML"),
-        required=True,
+def run_one(name: str, frag: str, seed: int, epochs: int, human: str,
+            skip_train: bool) -> dict:
+    exp = f"ab_{name}_s{seed}" if seed != 233 else f"ab_{name}"
+    cfg_path = f"/tmp/ab_{name}_s{seed}.yml"
+    overrides = "".join(
+        f"  {line.strip()}\n" for line in frag.split(";") if line.strip()
     )
-    ap.add_argument("--skip_train", action="store_true",
-                    help="evaluate existing EXP/ab_<name> checkpoints only")
-    args = ap.parse_args()
-
-    results = {}
-    for name, frag in args.variant:
-        exp = f"ab_{name}"
-        cfg_path = f"/tmp/ab_{name}.yml"
-        overrides = "".join(
-            f"  {line.strip()}\n" for line in frag.split(";") if line.strip()
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        f.write(BASE_CFG.format(
+            epochs=epochs, model_overrides=overrides, human=human
+        ))
+    env = dict(os.environ, DSNERF_SEED=str(seed))
+    if not skip_train:
+        print(f"=== training {exp} (seed {seed}) ===", flush=True)
+        subprocess.run(
+            [sys.executable, "main.py", "-c", cfg_path, "--exp", exp],
+            cwd=ROOT, check=True, env=env,
         )
-        with open(cfg_path, "w", encoding="utf-8") as f:
-            f.write(BASE_CFG.format(
-                epochs=args.epochs, model_overrides=overrides
-            ))
-        if not args.skip_train:
-            print(f"=== training {exp} ===", flush=True)
-            subprocess.run(
-                [sys.executable, "main.py", "-c", cfg_path, "--exp", exp],
-                cwd=ROOT, check=True,
-            )
-        # evaluate the LAST checkpoint with exact shading, fresh process
-        eval_code = f"""
+    # evaluate the LAST checkpoint with exact shading, fresh process
+    eval_code = f"""
 import sys; sys.path.insert(0, {ROOT!r})
 import json
 from dual_space_nerf_tpu.cli.common import load_cfg, load_render_state, load_faces
@@ -118,21 +113,68 @@ out = val(val_set, renderer, "EXP/{exp}/vis_exact", 0,
           fixed_frame=min(50, cfg.MODEL.MAX_FRAMES - 1))
 print("ABRESULT " + json.dumps(out))
 """
-        print(f"=== evaluating {exp} (exact shading) ===", flush=True)
-        proc = subprocess.run(
-            [sys.executable, "-c", eval_code], cwd=ROOT,
-            capture_output=True, text=True,
-        )
-        if proc.returncode != 0:
-            print(proc.stdout[-2000:])
-            print(proc.stderr[-4000:])
-            raise SystemExit(f"eval failed for {exp}")
-        for line in proc.stdout.splitlines():
-            if line.startswith("ABRESULT "):
-                results[name] = json.loads(line[len("ABRESULT "):])
-        print(name, results.get(name), flush=True)
+    print(f"=== evaluating {exp} (exact shading) ===", flush=True)
+    proc = subprocess.run(
+        [sys.executable, "-c", eval_code], cwd=ROOT,
+        capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        print(proc.stdout[-2000:])
+        print(proc.stderr[-4000:])
+        raise SystemExit(f"eval failed for {exp}")
+    for line in proc.stdout.splitlines():
+        if line.startswith("ABRESULT "):
+            return json.loads(line[len("ABRESULT "):])
+    raise SystemExit(f"no ABRESULT line for {exp}")
 
-    print(json.dumps(results, indent=2))
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--seeds", type=str, default="233",
+                    help="comma-separated DSNERF_SEED values; >=3 for "
+                         "error bars")
+    ap.add_argument("--human", type=str, default="capsule",
+                    choices=["capsule", "capsule_hf"],
+                    help="capsule_hf = high-frequency textured essence")
+    ap.add_argument(
+        "--variant", nargs=2, action="append", metavar=("NAME", "YAML"),
+        required=True,
+    )
+    ap.add_argument("--skip_train", action="store_true",
+                    help="evaluate existing EXP/ab_<name>[_s<seed>] "
+                         "checkpoints only")
+    args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",")]
+
+    per_seed: dict = {}
+    for name, frag in args.variant:
+        per_seed[name] = [
+            run_one(name, frag, seed, args.epochs, args.human,
+                    args.skip_train)
+            for seed in seeds
+        ]
+        print(name, per_seed[name], flush=True)
+
+    import numpy as np
+
+    summary = {}
+    for name, runs in per_seed.items():
+        agg = {}
+        for key in runs[0]:
+            vals = np.array([r[key] for r in runs], np.float64)
+            agg[key] = {
+                "mean": round(float(vals.mean()), 4),
+                "std": round(float(vals.std(ddof=1 if len(vals) > 1 else 0)),
+                             4),
+                "per_seed": [round(float(v), 4) for v in vals],
+            }
+        summary[name] = agg
+    print(json.dumps(
+        {"human": args.human, "epochs": args.epochs, "seeds": seeds,
+         "results": summary},
+        indent=2,
+    ))
 
 
 if __name__ == "__main__":

@@ -63,6 +63,7 @@ def monkeypatch_module():
     mp.undo()
 
 
+@pytest.mark.slow
 def test_validate_cli(trained_exp):
     work, cfg, ckpt = trained_exp
     from dual_space_nerf_tpu.cli import validate as cli_validate
@@ -73,6 +74,7 @@ def test_validate_cli(trained_exp):
     assert glob.glob(str(work / "EXP/cli_surface/vis/**/*.jpg"), recursive=True)
 
 
+@pytest.mark.slow
 def test_formal_test_cli(trained_exp):
     work, cfg, ckpt = trained_exp
     from dual_space_nerf_tpu.cli import test as cli_test
@@ -87,6 +89,7 @@ def test_formal_test_cli(trained_exp):
     assert out_pngs, "formal test wrote no renders"
 
 
+@pytest.mark.slow
 def test_vis_lighting_cli(trained_exp):
     work, cfg, ckpt = trained_exp
     from dual_space_nerf_tpu.cli import vis_lighting as cli_vis
@@ -100,6 +103,7 @@ def test_vis_lighting_cli(trained_exp):
     assert vids, "no relighting video written"
 
 
+@pytest.mark.slow
 def test_vis_lighting_cli_data_parallel(trained_exp):
     """--data_parallel shards the render chunks over the 8 virtual devices
     and must produce the same artifact set."""
@@ -112,3 +116,14 @@ def test_vis_lighting_cli_data_parallel(trained_exp):
     frames = glob.glob(str(work / "vis_lighting/cli_dp/**/*.jpg"),
                        recursive=True)
     assert len(frames) >= 10
+
+
+def test_train_cli_writes_checkpoints(trained_exp):
+    """Fast-tier CLI smoke: the real `main.py` surface trains and writes
+    epoch-named checkpoints + the last_checkpoint tag (the heavier eval
+    CLIs above are `slow`)."""
+    work, _, ckpt = trained_exp
+    assert os.path.exists(ckpt)
+    tag = os.path.join(work, "EXP/cli_surface/last_checkpoint")
+    with open(tag, encoding="utf-8") as f:
+        assert f.read().strip() in os.path.basename(ckpt)

@@ -6,11 +6,16 @@ import pytest
 
 from dual_space_nerf_tpu.data.synthetic import make_scene
 from dual_space_nerf_tpu.ops import (
+
     build_face_clusters,
     face_centroids,
     nearest_face_clustered,
     nearest_face_xla,
 )
+
+# interpret-mode Pallas / torch-reference parity: the heavy tier.
+# Fast CI runs 'pytest -m "not slow"'; the full battery runs everything.
+pytestmark = pytest.mark.slow
 
 
 def _check_exact(pts, cents, table, atol=1e-4):

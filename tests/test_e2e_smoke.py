@@ -6,6 +6,10 @@ import os
 import numpy as np
 import pytest
 
+# interpret-mode Pallas / torch-reference parity: the heavy tier.
+# Fast CI runs 'pytest -m "not slow"'; the full battery runs everything.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_cfg(tmp_path_factory):

@@ -20,12 +20,17 @@ from dual_space_nerf_tpu.models import DualSpaceNeRF
 from dual_space_nerf_tpu.ops import fused_mlp as fm
 from dual_space_nerf_tpu.ops.posenc import posenc
 from dual_space_nerf_tpu.renderer import (
+
     LightState,
     MeshBundle,
     RayBatch,
     RenderSettings,
     render_rays,
 )
+
+# interpret-mode Pallas / torch-reference parity: the heavy tier.
+# Fast CI runs 'pytest -m "not slow"'; the full battery runs everything.
+pytestmark = pytest.mark.slow
 
 R, S = 8, 8
 

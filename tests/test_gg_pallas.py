@@ -2,10 +2,15 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dual_space_nerf_tpu.data.synthetic import make_scene
 from dual_space_nerf_tpu.geometry import gg_near_far
 from dual_space_nerf_tpu.ops.gg_pallas import gg_near_far_pallas
+
+# interpret-mode Pallas / torch-reference parity: the heavy tier.
+# Fast CI runs 'pytest -m "not slow"'; the full battery runs everything.
+pytestmark = pytest.mark.slow
 
 
 def test_gg_pallas_matches_jnp(rng_np):

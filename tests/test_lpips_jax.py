@@ -14,6 +14,7 @@ import torch
 import torch.nn.functional as F
 
 from dual_space_nerf_tpu.evaluation.lpips_jax import (
+
     _ALEX,
     _SCALE,
     _SHIFT,
@@ -21,6 +22,10 @@ from dual_space_nerf_tpu.evaluation.lpips_jax import (
     lpips_distance,
     make_lpips_jax,
 )
+
+# interpret-mode Pallas / torch-reference parity: the heavy tier.
+# Fast CI runs 'pytest -m "not slow"'; the full battery runs everything.
+pytestmark = pytest.mark.slow
 
 _ALEX_CH = [64, 192, 384, 256, 256]
 _VGG_CH = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]

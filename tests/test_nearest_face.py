@@ -5,10 +5,15 @@ import numpy as np
 import pytest
 
 from dual_space_nerf_tpu.ops import (
+
     face_centroids,
     nearest_face_pallas,
     nearest_face_xla,
 )
+
+# interpret-mode Pallas / torch-reference parity: the heavy tier.
+# Fast CI runs 'pytest -m "not slow"'; the full battery runs everything.
+pytestmark = pytest.mark.slow
 
 
 def brute_force(pts, centroids):

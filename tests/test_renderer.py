@@ -410,3 +410,41 @@ def test_fine_and_gated_with_listed_knn(scene, model_params):
         np.testing.assert_allclose(
             np.asarray(out_l[k]), np.asarray(out_x[k]), atol=1e-5, err_msg=k
         )
+
+
+def test_full_shading_faceid_dataflow_matches_materialized(
+    scene, mesh, model_params
+):
+    """The TPU full-shading dataflow (face-id exchange + in-chunk transport
+    replay) is bit-level the same math as the CPU/golden materialized
+    dataflow — outputs must agree to f32 roundoff, in eval and in grads."""
+    model, params = model_params
+    batch = _ray_batch(scene)
+    kw = dict(shade_topk=0, remat=False)
+    mat = render_rays(
+        params, model, batch, mesh, settings(full_dataflow="materialized", **kw),
+        LightState.identity(), rng=None, train=False,
+    )
+    fid = render_rays(
+        params, model, batch, mesh, settings(full_dataflow="faceid", **kw),
+        LightState.identity(), rng=None, train=False,
+    )
+    for key in ("color", "acc_map", "depth_map", "weights"):
+        np.testing.assert_allclose(
+            np.asarray(fid[key]), np.asarray(mat[key]), atol=1e-5,
+            err_msg=key,
+        )
+
+    def loss(p, dataflow):
+        out = render_rays(
+            p, model, batch, mesh, settings(full_dataflow=dataflow, **kw),
+            LightState.identity(), rng=None, train=False,
+        )
+        return jnp.mean(out["color"] ** 2) + jnp.mean(out["acc_map"])
+
+    g_mat = jax.grad(loss)(params, "materialized")
+    g_fid = jax.grad(loss)(params, "faceid")
+    for a, b in zip(jax.tree.leaves(g_fid), jax.tree.leaves(g_mat)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+        )

@@ -23,6 +23,10 @@ import torch
 
 from dual_space_nerf_tpu.models import DualSpaceNeRF
 
+# interpret-mode Pallas / torch-reference parity: the heavy tier.
+# Fast CI runs 'pytest -m "not slow"'; the full battery runs everything.
+pytestmark = pytest.mark.slow
+
 torch.set_default_dtype(torch.float64)
 
 

@@ -195,6 +195,7 @@ def test_fine_pass_is_supervised(setup):
     np.testing.assert_allclose(float(metrics["loss"]), total, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_step_with_pruned_pallas_kernel(setup):
     """The production Pallas KNN inside the GSPMD-sharded train jit
     (interpret mode on CPU): sharded == unsharded. On a real pod this is
@@ -230,6 +231,7 @@ def test_sharded_step_with_pruned_pallas_kernel(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_step_with_fused_mlp(setup):
     """The fused SpaceNet Pallas kernels inside the GSPMD-sharded train jit
     (interpret mode on CPU, gated shading): sharded == unsharded. On a real
