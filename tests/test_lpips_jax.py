@@ -166,3 +166,50 @@ def test_make_lpips_jax_roundtrip(tmp_path, rng_np):
         )
     )
     np.testing.assert_allclose(d, manual, rtol=1e-6)
+
+
+@pytest.mark.parametrize("net,h", [("alex", 64), ("vgg", 32)])
+def test_lpips_matches_committed_golden(net, h):
+    """Numerics pinned by a COMMITTED fixture (tests/fixtures/
+    lpips_golden.npz): deterministic weights (seed 77) + images (seeds
+    101/202) must reproduce the recorded score and per-layer feature
+    stats bit-for-bit at f64 print precision. This gives the first
+    real-weights run of tool/convert_lpips_weights.py a harness whose own
+    numerics are provably unchanged since this recording."""
+    import os
+
+    import jax.numpy as jnp
+
+    from dual_space_nerf_tpu.evaluation.lpips_jax import (
+        _SCALE as scale,
+        _SHIFT as shift,
+        _features,
+    )
+
+    fx = np.load(
+        os.path.join(os.path.dirname(__file__), "fixtures",
+                     "lpips_golden.npz")
+    )
+    params = _random_params(net, np.random.default_rng(77))
+    img0 = (np.random.default_rng(101).random((h, h, 3)).astype(np.float32)
+            * 2 - 1)
+    img1 = (np.random.default_rng(202).random((h, h, 3)).astype(np.float32)
+            * 2 - 1)
+    jp = {k: jnp.asarray(v) for k, v in params.items()}
+    score = float(
+        lpips_distance(jp, jnp.asarray(img0), jnp.asarray(img1), net=net)
+    )
+    np.testing.assert_allclose(score, float(fx[f"{net}/score"]), rtol=1e-5)
+
+    x = ((jnp.asarray(img0) - jnp.asarray(shift)) / jnp.asarray(scale))[None]
+    feats = _features(jp, x, net)
+    for i, f in enumerate(feats):
+        fa = np.asarray(f)
+        np.testing.assert_allclose(
+            fa.mean(), float(fx[f"{net}/feat{i}_mean"]), rtol=1e-5,
+            err_msg=f"{net} feat{i} mean",
+        )
+        np.testing.assert_allclose(
+            np.abs(fa).max(), float(fx[f"{net}/feat{i}_absmax"]), rtol=1e-5,
+            err_msg=f"{net} feat{i} absmax",
+        )
