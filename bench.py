@@ -196,6 +196,43 @@ def main():
             }
             if exact_note:
                 record["exact"]["note"] = exact_note
+
+    # Eval path (BASELINE.json config #1): full-image render_view at
+    # 512x512, exact full shading, production chunk. Reference:
+    # `can_render.py:172-278` (3072-ray chunks over the AABB mask).
+    if os.environ.get("BENCH_EVAL", "1") == "1":
+        try:
+            from dual_space_nerf_tpu.evaluation import ImageRenderer
+
+            eval_settings = dataclasses.replace(
+                settings, shade_topk=0, reuse_warp_faces=False,
+                fused_mlp=False,
+            )
+            eval_ds = SyntheticDataset(
+                split="val", n_frames=1, n_views=1, h=512, w=512,
+            )
+            eval_item = eval_ds[0]
+            eval_rays_n = int(np.asarray(eval_item["mask_at_box"]).sum())
+            renderer = ImageRenderer(
+                model, create_train_state(model, tx, jax.random.key(0)).params,
+                eval_settings, np.asarray(eval_ds.faces),
+                eval_ds.canonical_vertex,
+                chunk=int(os.environ.get("BENCH_EVAL_CHUNK", "16384")),
+            )
+            renderer.render_item(eval_item)  # warmup / compile
+            t0 = time.perf_counter()
+            for _ in range(3):
+                renderer.render_item(eval_item)
+            s_img = (time.perf_counter() - t0) / 3
+            record["eval"] = {
+                "s_per_image_512": round(s_img, 3),
+                "rays_per_s": round(eval_rays_n / s_img, 1),
+                "semantics": "render_view, exact full shading "
+                             "(reference can_render.py:172-278)",
+            }
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            print("bench: eval measurement failed; omitting", file=sys.stderr)
     print(json.dumps(record))
 
 

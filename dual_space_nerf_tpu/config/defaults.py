@@ -55,10 +55,13 @@ _C.MODEL.REUSE_WARP_FACES = False
 # runs with weights + one activation block resident in VMEM. Exact vs the
 # jax.vjp path (f32 roundoff); requires the default architecture
 # (CODE_DIM=8, backbone 256, essence 3, PE L=10) — silently falls back to
-# the XLA path otherwise. "auto" (default) = ON exactly where the v5e A/Bs
-# show it wins: on TPU with full (SHADE_TOPK=0) shading — i.e. eval renders
-# and reference-exact training; OFF for gated training and off-TPU.
-# "on"/"off" force it.
+# the XLA path otherwise. "auto" (default) currently resolves to OFF
+# everywhere: r3 step-level A/Bs on v5e measured the fused pair LOSING in
+# every composed configuration once the XLA paths adopted the face-id
+# dataflow — exact train 61.7k vs 81.3k rays/s, eval render 80.0k vs
+# 132.2k (bench/r3) — despite winning the isolated network fwd+bwd
+# (an artifact of the axon per-call dispatch floor). "on" forces the
+# kernels for A/Bs; they stay exactness-pinned in tests/test_fused_mlp.py.
 _C.MODEL.FUSED_MLP = "auto"
 _C.MODEL.FUSED_BLOCK = 512         # points per fused-kernel grid block
 # one-pass bf16 MXU feeds inside the fused kernels (XLA-DEFAULT numerics
@@ -134,7 +137,10 @@ _C.TEST.SAMPLE_NUMS = 100000
 _C.TEST.STEP_SIZE = 1
 _C.TEST.STEP_NUM = 2
 _C.TEST.light_center = []
-_C.TEST.RAY_CHUNK = 4096           # rays per eval chunk (can_render.py:257 uses 3072)
+# rays per eval chunk (the reference uses 3072, can_render.py:257). Swept
+# on v5e at 512x512 with pipelined D2H (scripts/bench_eval.py, bench/r3):
+# 8192 = 111.6k, 16384 = 132.2k, 32768 = 122.7k rays/s.
+_C.TEST.RAY_CHUNK = 16384
 _C.TEST.LPIPS_WEIGHTS = ""         # optional path to LPIPS weights; gated if empty
 
 _C.OUTPUT_DIR = ""

@@ -91,11 +91,21 @@ class ImageRenderer:
         keys = ["color", "disp_map", "acc_map", "depth_map"]
         if self.settings.n_fine > 0:
             keys += [f"fine_{k}" for k in keys]
+        # Two-phase: dispatch EVERY chunk before fetching any result. A
+        # per-chunk np.asarray would serialize each chunk's compute with a
+        # host round trip (a ~200 ms/chunk stall on the axon tunnel —
+        # measured 18.8k -> see bench/r3 for the fixed numbers); with all
+        # chunks queued, device compute and D2H transfers pipeline.
+        pending = [
+            ({k: out[k][:valid] for k in keys}, valid)
+            for rays, valid in iter_ray_chunks(item, self.chunk, frame_override)
+            for out in (self._render_chunk(self.params, rays, mesh, light),)
+        ]
         parts = {k: [] for k in keys}
-        for rays, valid in iter_ray_chunks(item, self.chunk, frame_override):
-            out = self._render_chunk(self.params, rays, mesh, light)
-            for k in parts:
-                parts[k].append(np.asarray(out[k][:valid]))
+        for out, _ in pending:
+            fetched = jax.device_get(out)
+            for k in keys:
+                parts[k].append(fetched[k])
 
         H, W = item["img"].shape[:2]
         mask = np.asarray(item["mask_at_box"]).reshape(-1).astype(bool)

@@ -111,15 +111,15 @@ class LightState(NamedTuple):
 
 
 def _resolve_fused(cfg_value, shade_topk: int) -> bool:
-    """MODEL.FUSED_MLP policy: "auto" enables the fused kernel pair exactly
-    where the v5e A/Bs show it wins — TPU backend + full (SHADE_TOPK=0)
-    shading. Gated training keeps the XLA path (density-only passes are
-    cheap there and the fused backward's VMEM accumulators serialize the
-    grid; README's fused A/B)."""
+    """MODEL.FUSED_MLP policy. "auto" resolves to OFF everywhere as of r3:
+    step-level v5e A/Bs measured the fused kernel pair losing in every
+    composed configuration once the XLA paths adopted the face-id dataflow
+    (exact train 61.7k vs 81.3k rays/s, eval render 80.0k vs 132.2k —
+    bench/r3/bench_runs.jsonl). "on" forces the kernels for A/Bs."""
     if isinstance(cfg_value, str):
         v = cfg_value.lower()
         if v == "auto":
-            return shade_topk == 0 and jax.default_backend() == "tpu"
+            return False
         if v in ("on", "true", "1"):
             return True
         if v in ("off", "false", "0"):

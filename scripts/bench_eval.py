@@ -9,9 +9,10 @@ the synthetic 512x512 scene (SMPL-sized mesh, GG sampling, 64 samples,
 full exact shading) — sweeping the ray-chunk size and the fused-MLP
 kernels.
 
-Eval is full-shading (no gating), which is exactly the regime where the
-fused SpaceNet kernel pair wins (README's fused A/B), so the fused
-configurations are the production eval path on TPU.
+Eval is full-shading (no gating). Measured on v5e (bench/r3): the fused
+SpaceNet kernels LOSE here too (80.0k vs 132.2k rays/s at chunk 16384),
+so the production eval path is the plain XLA face-id pipeline; the fused
+sweep column stays for A/Bs.
 
 Usage: python scripts/bench_eval.py [--images 3] [--chunks 3072,8192,...]
 """
