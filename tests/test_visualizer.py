@@ -34,3 +34,29 @@ def test_density_volume_shape_and_finite():
     assert np.isfinite(grid).all()
     # transparent-masked cells (far from the capsule) are exactly 0
     assert (grid == 0).any()
+
+
+def test_render_mesh_image_rasterizer():
+    """The dependency-free turntable rasterizer (the reference renders its
+    extracted mesh via pyrender, `utils/visualizer.py:112-142`): a unit
+    tetrahedron must cover pixels, shade in (0, 1], and respect the
+    z-buffer (front face hides back)."""
+    from dual_space_nerf_tpu.evaluation.visualizer import render_mesh_image
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32
+    )
+    faces = np.array(
+        [[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]], np.int32
+    )
+    img = render_mesh_image(verts, faces, angle=0.7, size=96)
+    assert img.shape == (96, 96, 3) and img.dtype == np.uint8
+    covered = (img.sum(-1) > 0)
+    assert 0.05 < covered.mean() < 0.9  # silhouette, not empty/full
+    # rotating changes the image
+    img2 = render_mesh_image(verts, faces, angle=2.0, size=96)
+    assert np.abs(img.astype(int) - img2.astype(int)).max() > 0
+
+    # empty mesh -> black canvas, no crash
+    empty = render_mesh_image(np.zeros((0, 3)), np.zeros((0, 3), np.int32))
+    assert empty.sum() == 0
