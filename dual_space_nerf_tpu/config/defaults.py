@@ -94,6 +94,10 @@ _C.DATASETS.SYNTHETIC_VAL_VIEW_OFFSET = 0.0
 _C.DATALOADER = CN()
 _C.DATALOADER.NUM_WORKERS = 8
 _C.DATALOADER.PREFETCH = 2
+# "thread" (default; cv2/numpy release the GIL for the heavy parts) or
+# "process" (forked workers — for hosts where the Python-level pixel
+# sampler caps thread scaling; DSNERF_LOADER_BACKEND also overrides)
+_C.DATALOADER.BACKEND = "thread"
 
 # ----------------------------------------------------------------------------
 # Solver

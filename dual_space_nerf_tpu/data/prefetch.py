@@ -5,6 +5,12 @@ with a thread pool (cv2/numpy release the GIL for the heavy parts: imread,
 undistort, resize) feeding a bounded queue. Items are prepared ahead of the
 train step so the TPU never waits on the host.
 
+`backend="process"` (or DSNERF_LOADER_BACKEND=process) swaps the thread
+pool for forked worker PROCESSES running `dataset[i]` — for hosts where
+Python-level sampling (the 60/5/35 pixel loop) caps thread scaling under
+the GIL. The device-side transform still runs on the consumer thread
+(jax arrays do not cross process boundaries).
+
 Abandoning an epoch mid-iteration (generator GC, `break`, a new `iter()`)
 STOPS the workers: they check a per-epoch stop event between items and the
 bounded output queue uses timed puts so no thread blocks forever. Without
@@ -14,6 +20,8 @@ cv2 buffers and outliving temp directories.
 
 from __future__ import annotations
 
+import multiprocessing
+import os
 import queue
 import threading
 from typing import Callable, Iterator
@@ -21,6 +29,17 @@ from typing import Callable, Iterator
 import numpy as np
 
 _SENTINEL = object()
+
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _get_item(i: int):
+    return _WORKER_DATASET[int(i)]
 
 
 class PrefetchLoader:
@@ -36,6 +55,7 @@ class PrefetchLoader:
         prefetch: int = 8,
         seed: int | None = None,
         transform: Callable | None = None,
+        backend: str | None = None,
     ):
         self.dataset = dataset
         self.shuffle = shuffle
@@ -43,14 +63,48 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self.transform = transform
+        # env wins over config/arg so in-flight A/Bs work without edits
+        # (same convention as the DSNERF_KNN_* kernel knobs)
+        backend = (
+            os.environ.get("DSNERF_LOADER_BACKEND") or backend or "thread"
+        )
+        if backend not in ("thread", "process"):
+            raise ValueError(
+                f"PrefetchLoader backend {backend!r}: expected "
+                "'thread' or 'process' (DSNERF_LOADER_BACKEND)"
+            )
+        self.backend = backend
 
     def __len__(self) -> int:
         return len(self.dataset)
+
+    def _iter_process(self, order) -> Iterator:
+        """Forked worker processes sample items; the device transform runs
+        on the consumer thread. fork shares the dataset's numpy tables
+        copy-on-write — nothing re-pickles per item."""
+        ctx = multiprocessing.get_context("fork")
+        pool = ctx.Pool(
+            self.num_workers, initializer=_init_worker,
+            initargs=(self.dataset,),
+        )
+        try:
+            for item in pool.imap_unordered(
+                _get_item, [int(i) for i in order]
+            ):
+                if self.transform is not None:
+                    item = self.transform(item)
+                yield item
+        finally:
+            pool.terminate()
+            pool.join()
 
     def __iter__(self) -> Iterator:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        if self.backend == "process":
+            yield from self._iter_process(order)
+            return
 
         idx_q: queue.Queue = queue.Queue()
         for i in order:

@@ -104,6 +104,7 @@ def do_train(
         train_set, shuffle=True,
         num_workers=cfg.DATALOADER.NUM_WORKERS, seed=seed,
         transform=to_device,
+        backend=getattr(cfg.DATALOADER, "BACKEND", None),
     )
 
     global_step = int(state.step)

@@ -117,6 +117,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--items", type=int, default=32)
     ap.add_argument("--workers", type=int, nargs="+", default=[1, 3, 6])
+    ap.add_argument(
+        "--backend", nargs="+", default=["thread"],
+        choices=["thread", "process"],
+        help="PrefetchLoader backend(s) to sweep",
+    )
     args = ap.parse_args()
 
     from dual_space_nerf_tpu.data import PrefetchLoader
@@ -145,9 +150,12 @@ def main():
             )
 
         for tf, tag in ((None, "bare"), (to_device, "with_transform")):
-            for nw in args.workers:
+            for nw, backend in (
+                (nw, b) for b in args.backend for nw in args.workers
+            ):
                 loader = PrefetchLoader(
-                    ds, shuffle=True, num_workers=nw, seed=0, transform=tf
+                    ds, shuffle=True, num_workers=nw, seed=0, transform=tf,
+                    backend=backend,
                 )
                 it = iter(loader)
                 next(it)  # warm caches / compile device puts
@@ -165,6 +173,7 @@ def main():
                 print(json.dumps({
                     "metric": f"zju_loader_items_per_sec_{tag}",
                     "workers": nw,
+                    "backend": backend,
                     "value": round(args.items / dt, 2),
                     "unit": f"items/s ({H}x{W} imgs, {NRAYS} rays sampled)",
                 }))

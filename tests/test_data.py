@@ -295,3 +295,46 @@ def test_prefetch_worker_error_propagates():
     with pytest.raises(RuntimeError, match=r"dataset\[5\]"):
         for _ in loader:
             pass
+
+
+def test_prefetch_process_backend_yields_all_items():
+    """backend='process': forked workers sample; transform runs consumer-
+    side; every item arrives exactly once."""
+    from dual_space_nerf_tpu.data.prefetch import PrefetchLoader
+
+    class Squares:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return {"i": i, "sq": i * i}
+
+    loader = PrefetchLoader(
+        Squares(), shuffle=True, num_workers=2, seed=0,
+        transform=lambda d: {**d, "t": d["sq"] + 1}, backend="process",
+    )
+    got = sorted((d["i"], d["sq"], d["t"]) for d in loader)
+    assert got == [(i, i * i, i * i + 1) for i in range(12)]
+    # a second epoch works (fresh pool per epoch)
+    assert len(list(loader)) == 12
+
+
+def test_prefetch_backend_validation():
+    from dual_space_nerf_tpu.data.prefetch import PrefetchLoader
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="backend"):
+        PrefetchLoader([1, 2], backend="greenlet")
+
+
+def test_prefetch_env_overrides_backend_arg(monkeypatch):
+    """DSNERF_LOADER_BACKEND wins over the config-passed backend, same
+    convention as the DSNERF_KNN_* kernel knobs."""
+    from dual_space_nerf_tpu.data.prefetch import PrefetchLoader
+
+    monkeypatch.setenv("DSNERF_LOADER_BACKEND", "process")
+    assert PrefetchLoader([1], backend="thread").backend == "process"
+    monkeypatch.delenv("DSNERF_LOADER_BACKEND")
+    assert PrefetchLoader([1], backend="thread").backend == "thread"
+    assert PrefetchLoader([1]).backend == "thread"
