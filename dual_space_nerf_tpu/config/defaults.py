@@ -39,7 +39,11 @@ _C.MODEL.CODE_DIM = 8
 _C.MODEL.MLP_CHUNK = 16384         # points per lax.map microbatch (swept on v5e at SHADE_TOPK=8, 1024-pt KNN blocks: 16384=51.9, 8192=52.8, 24576=54.2, 32768=56.4 ms/step)
 _C.MODEL.MATMUL_PRECISION = "f32"  # "f32" | "bf16" matmul accumulation input
 _C.MODEL.KNN_IMPL = "auto"         # "auto" | "listed" | "pruned" | "pallas" | "xla" | "grouped" | "clustered"
-_C.MODEL.REMAT = False             # jax.checkpoint the per-point network
+# jax.checkpoint the per-point network. "auto" = remat exactly when
+# SHADE_TOPK is off: full-shading's second-order graph over all samples is
+# HBM-heavy and measures ~5% FASTER under remat on v5e (69.5 vs 73.4 ms
+# solo), while the gated config pays ~1 ms for it (43.2 vs 44.3 ms).
+_C.MODEL.REMAT = "auto"            # "auto" | True | False
 # Importance-gated shading: evaluate density at every sample but run the
 # color path (canonical KNN + transport + vjp normal + LightingMLP) only on
 # the top-K samples per ray by compositing weight. 0/-1 = off (shade all

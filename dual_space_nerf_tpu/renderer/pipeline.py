@@ -110,6 +110,23 @@ class LightState(NamedTuple):
         )
 
 
+def _resolve_remat(cfg_value, shade_topk: int) -> bool:
+    """MODEL.REMAT policy. "auto" remats exactly the full-shading configs
+    (shade_topk off): their second-order graph over all 352k samples is
+    HBM-bound and measures ~5% faster under remat on v5e, while gated
+    configs pay ~1 ms for it (solo A/B, 2026-08-19)."""
+    if isinstance(cfg_value, str):
+        v = cfg_value.lower()
+        if v == "auto":
+            return shade_topk <= 0
+        if v in ("on", "true", "1"):
+            return True
+        if v in ("off", "false", "0"):
+            return False
+        raise ValueError(f"MODEL.REMAT={cfg_value!r}: expected auto/on/off")
+    return bool(cfg_value)
+
+
 def _resolve_fused(cfg_value, shade_topk: int) -> bool:
     """MODEL.FUSED_MLP policy. "auto" resolves to OFF everywhere as of r3:
     step-level v5e A/Bs measured the fused kernel pair losing in every
@@ -206,7 +223,7 @@ class RenderSettings:
             raw_noise_std=cfg.MODEL.raw_noise_std,
             mlp_chunk=cfg.MODEL.MLP_CHUNK,
             knn_impl=cfg.MODEL.KNN_IMPL,
-            remat=cfg.MODEL.REMAT,
+            remat=_resolve_remat(cfg.MODEL.REMAT, shade_topk),
             shade_topk=shade_topk,
             fused_mlp=_resolve_fused(
                 getattr(cfg.MODEL, "FUSED_MLP", "auto"), shade_topk
