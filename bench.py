@@ -52,7 +52,7 @@ def main():
 
     from dual_space_nerf_tpu.cli.common import build_model
     from dual_space_nerf_tpu.config import get_cfg_defaults
-    from dual_space_nerf_tpu.renderer import RenderSettings
+    from dual_space_nerf_tpu.renderer import RenderSettings, resolve_mlp_chunk
     from dual_space_nerf_tpu.training import (
         TrainBatch,
         create_train_state,
@@ -69,7 +69,9 @@ def main():
     settings = RenderSettings(
         n_samples=N_SAMPLES,
         sample_mode="GG",
-        mlp_chunk=cfg.MODEL.MLP_CHUNK,
+        mlp_chunk=resolve_mlp_chunk(
+            cfg.MODEL.MLP_CHUNK, int(os.environ.get("BENCH_TOPK", "8"))
+        ),
         knn_impl=os.environ.get("BENCH_KNN", "auto"),
         # v5e's 16 GB holds the full second-order graph at this workload;
         # remat costs ~1 ms/step at the gated config (43.2 vs 44.3 ms solo)
@@ -184,6 +186,9 @@ def main():
             shade_topk=0,
             reuse_warp_faces=False,
             fused_mlp=os.environ.get("BENCH_EXACT_FUSED", "0") == "1",
+            # full shading pipelines better at finer chunk grain (v5e
+            # sweep: 8192 = 64.9 vs 16384 = 69.5 ms/step)
+            mlp_chunk=resolve_mlp_chunk(cfg.MODEL.MLP_CHUNK, 0),
             # exact shades all 64 samples: its second-order graph is
             # HBM-heavy and measures ~5% FASTER under remat (69.5 vs
             # 73.4 ms solo, v5e 2026-08-19); the gated headline stays

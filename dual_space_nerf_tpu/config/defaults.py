@@ -36,7 +36,7 @@ _C.MODEL.LOSSwMask = False
 # --- TPU-specific model/runtime knobs (not in reference) -------------------
 _C.MODEL.MAX_FRAMES = 500          # nn.Embedding(500, 8) (spacenet.py:41)
 _C.MODEL.CODE_DIM = 8
-_C.MODEL.MLP_CHUNK = 16384         # points per lax.map microbatch (swept on v5e at SHADE_TOPK=8, 1024-pt KNN blocks: 16384=51.9, 8192=52.8, 24576=54.2, 32768=56.4 ms/step)
+_C.MODEL.MLP_CHUNK = -1            # points per lax.map microbatch; <= 0 = auto (16384 gated / 8192 full shading — see renderer.pipeline.resolve_mlp_chunk for the v5e sweeps)
 _C.MODEL.MATMUL_PRECISION = "f32"  # "f32" | "bf16" matmul accumulation input
 _C.MODEL.KNN_IMPL = "auto"         # "auto" | "listed" | "pruned" | "pallas" | "xla" | "grouped" | "clustered"
 # jax.checkpoint the per-point network. "auto" = remat exactly when

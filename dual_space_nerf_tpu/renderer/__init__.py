@@ -3,6 +3,7 @@ from .pipeline import (
     MeshBundle,
     RayBatch,
     RenderSettings,
+    resolve_mlp_chunk,
     density_grid,
     normal_canonical_to_world,
     render_rays,
@@ -14,6 +15,7 @@ __all__ = [
     "MeshBundle",
     "RayBatch",
     "RenderSettings",
+    "resolve_mlp_chunk",
     "density_grid",
     "normal_canonical_to_world",
     "render_rays",

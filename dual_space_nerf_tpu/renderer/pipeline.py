@@ -110,6 +110,17 @@ class LightState(NamedTuple):
         )
 
 
+def resolve_mlp_chunk(cfg_value: int, shade_topk: int) -> int:
+    """MODEL.MLP_CHUNK policy. <= 0 = auto: 16384 for gated configs (v5e
+    sweep at SHADE_TOPK=8: 16384 = 51.9, 8192 = 52.8, 32768 = 56.4
+    ms/step), 8192 for full shading, whose fwd+bwd chunk loop pipelines
+    better at finer grain (exact+remat sweep, v5e 2026-08-19: 8192 = 64.9,
+    16384 = 69.5, 32768 = 78.8, unchunked = 117.5 ms/step)."""
+    if cfg_value and int(cfg_value) > 0:
+        return int(cfg_value)
+    return 16384 if shade_topk > 0 else 8192
+
+
 def _resolve_remat(cfg_value, shade_topk: int) -> bool:
     """MODEL.REMAT policy. "auto" remats exactly the full-shading configs
     (shade_topk off): their second-order graph over all 352k samples is
@@ -221,7 +232,7 @@ class RenderSettings:
             sample_mode=cfg.MODEL.sample_points_mode,
             perturb=cfg.MODEL.perturb,
             raw_noise_std=cfg.MODEL.raw_noise_std,
-            mlp_chunk=cfg.MODEL.MLP_CHUNK,
+            mlp_chunk=resolve_mlp_chunk(cfg.MODEL.MLP_CHUNK, shade_topk),
             knn_impl=cfg.MODEL.KNN_IMPL,
             remat=_resolve_remat(cfg.MODEL.REMAT, shade_topk),
             shade_topk=shade_topk,

@@ -47,7 +47,7 @@ if __name__ == "__main__":
     from dual_space_nerf_tpu.config import get_cfg_defaults
     from dual_space_nerf_tpu.data import SyntheticDataset
     from dual_space_nerf_tpu.evaluation import ImageRenderer
-    from dual_space_nerf_tpu.renderer import RenderSettings
+    from dual_space_nerf_tpu.renderer import RenderSettings, resolve_mlp_chunk
     from dual_space_nerf_tpu.training import create_train_state, make_optimizer
 
     cfg = get_cfg_defaults()
@@ -67,7 +67,7 @@ if __name__ == "__main__":
     for fused in [int(x) for x in args.fused.split(",")]:
         for chunk in [int(x) for x in args.chunks.split(",")]:
             settings = RenderSettings(
-                n_samples=64, sample_mode="GG", mlp_chunk=cfg.MODEL.MLP_CHUNK,
+                n_samples=64, sample_mode="GG", mlp_chunk=resolve_mlp_chunk(cfg.MODEL.MLP_CHUNK, 0),
                 knn_impl="auto", shade_topk=0, fused_mlp=bool(fused),
             )
             renderer = ImageRenderer(

@@ -63,7 +63,7 @@ if __name__ == "__main__":
     )
     from dual_space_nerf_tpu.ops.posenc import posenc
     from dual_space_nerf_tpu.ops.pruned_knn import pruned_search_listed
-    from dual_space_nerf_tpu.renderer import RenderSettings
+    from dual_space_nerf_tpu.renderer import RenderSettings, resolve_mlp_chunk
     from dual_space_nerf_tpu.training import (
         create_train_state,
         make_optimizer,
@@ -88,7 +88,7 @@ if __name__ == "__main__":
     def step_ms(**kw):
         model = DualSpaceNeRF()
         settings = RenderSettings(
-            n_samples=S, sample_mode="GG", mlp_chunk=cfg.MODEL.MLP_CHUNK,
+            n_samples=S, sample_mode="GG", mlp_chunk=resolve_mlp_chunk(cfg.MODEL.MLP_CHUNK, 0),
             knn_impl="auto", remat=False, shade_topk=0, **kw,
         )
         holder = {"s": create_train_state(model, tx, jax.random.key(0))}

@@ -64,7 +64,7 @@ if __name__ == "__main__":
     )
     from dual_space_nerf_tpu.ops.posenc import posenc
     from dual_space_nerf_tpu.ops.pruned_knn import pruned_search_listed
-    from dual_space_nerf_tpu.renderer import RenderSettings
+    from dual_space_nerf_tpu.renderer import RenderSettings, resolve_mlp_chunk
     from dual_space_nerf_tpu.renderer.pipeline import (
         _faces_table,
         _warp_chunk,
@@ -76,7 +76,7 @@ if __name__ == "__main__":
     cfg = get_cfg_defaults()
     cfg.SOLVER.WEIGHT_DECAY = 0.0
     settings = RenderSettings(
-        n_samples=S, sample_mode="GG", mlp_chunk=cfg.MODEL.MLP_CHUNK,
+        n_samples=S, sample_mode="GG", mlp_chunk=resolve_mlp_chunk(cfg.MODEL.MLP_CHUNK, 0),
         knn_impl="listed", shade_topk=0,
     )
 

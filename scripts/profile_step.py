@@ -51,7 +51,7 @@ if __name__ == "__main__":
     from dual_space_nerf_tpu.models import DualSpaceNeRF
     from dual_space_nerf_tpu.ops import face_centroids
     from dual_space_nerf_tpu.ops.pruned_knn import pruned_search_presorted
-    from dual_space_nerf_tpu.renderer import RayBatch, RenderSettings
+    from dual_space_nerf_tpu.renderer import RayBatch, RenderSettings, resolve_mlp_chunk
     from dual_space_nerf_tpu.training import (
         TrainBatch,
         create_train_state,
@@ -95,7 +95,10 @@ if __name__ == "__main__":
     def step_ms(remat, dtype, **kw):
         model = DualSpaceNeRF(compute_dtype=dtype)
         settings = RenderSettings(
-            n_samples=S, sample_mode="GG", mlp_chunk=cfg.MODEL.MLP_CHUNK,
+            n_samples=S, sample_mode="GG",
+            mlp_chunk=resolve_mlp_chunk(
+                cfg.MODEL.MLP_CHUNK, kw.get("shade_topk", 0)
+            ),
             knn_impl="auto", remat=remat, **kw,
         )
         holder = {"s": create_train_state(model, tx, jax.random.key(0))}
