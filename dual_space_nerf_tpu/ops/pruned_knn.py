@@ -708,12 +708,21 @@ def pruned_search_listed(
     plan_p: int = _PLAN_P_LISTED,
     tighten: bool = _TIGHTEN_LISTED,
     slim: bool = _SLIM_LISTED,
+    return_slots: bool = False,
 ) -> jnp.ndarray:
     """List-driven exact nearest-face search for spatially-sorted points.
 
     Same contract as `pruned_search_presorted`, but candidate tiles are the
     kd leaves of `tile_table` (build_face_tiles) and visits are planned per
-    plan_p-point sub-block outside the kernel (see module comment above)."""
+    plan_p-point sub-block outside the kernel (see module comment above).
+
+    return_slots=True skips the final slot->face-id translation gather and
+    returns TILE-SLOT ids (tile * BF + lane, < tile_table.size). Callers
+    that only ever use the result to gather per-face rows can pre-permute
+    their tables by `slot_perm_from_tiles(tile_table)` once instead of
+    paying a 352k-row gather per search (~2.3 ms/step each on v5e). Ties
+    are identical either way: the kernel already breaks distance ties by
+    smallest SLOT id."""
     n = pts_sorted.shape[0]
     n_pad = -(-n // block_p) * block_p
     block_f = tile_table.shape[1]
@@ -729,7 +738,17 @@ def pruned_search_listed(
         block_p=block_p, block_f=block_f, plan_p=plan_p, tighten=tighten,
         slim=slim,
     )[:n]
+    if return_slots:
+        return idx_local
     return perm_pad[idx_local]
+
+
+def slot_perm_from_tiles(tile_table: jnp.ndarray) -> jnp.ndarray:
+    """(T*BF,) slot -> face-id map matching `return_slots=True` results.
+
+    Identical to listed_tables' perm_pad: padded (-1) slots clamp to face 0
+    (they can never be returned — padded centroids sit at 1e15)."""
+    return jnp.maximum(tile_table, 0).reshape(-1).astype(jnp.int32)
 
 
 def morton_order(pts: jnp.ndarray) -> jnp.ndarray:
