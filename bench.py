@@ -218,6 +218,8 @@ def main():
             eval_settings = dataclasses.replace(
                 settings, shade_topk=0, reuse_warp_faces=False,
                 fused_mlp=False,
+                # eval is full shading: use its resolved lax.map grain
+                mlp_chunk=resolve_mlp_chunk(cfg.MODEL.MLP_CHUNK, 0),
             )
             eval_ds = SyntheticDataset(
                 split="val", n_frames=1, n_views=1, h=512, w=512,
@@ -228,7 +230,9 @@ def main():
                 model, create_train_state(model, tx, jax.random.key(0)).params,
                 eval_settings, np.asarray(eval_ds.faces),
                 eval_ds.canonical_vertex,
-                chunk=int(os.environ.get("BENCH_EVAL_CHUNK", "16384")),
+                chunk=int(
+                    os.environ.get("BENCH_EVAL_CHUNK", cfg.TEST.RAY_CHUNK)
+                ),
             )
             renderer.render_item(eval_item)  # warmup / compile
             t0 = time.perf_counter()

@@ -146,9 +146,10 @@ _C.TEST.STEP_SIZE = 1
 _C.TEST.STEP_NUM = 2
 _C.TEST.light_center = []
 # rays per eval chunk (the reference uses 3072, can_render.py:257). Swept
-# on v5e at 512x512 with pipelined D2H (scripts/bench_eval.py, bench/r3):
-# 8192 = 111.6k, 16384 = 132.2k, 32768 = 122.7k rays/s.
-_C.TEST.RAY_CHUNK = 16384
+# on v5e at 512x512 with pipelined D2H (scripts/bench_eval.py, bench/r3).
+# Post slot-ids + mlp_chunk-auto (2026-08-19): 4096 = 90.8k, 8192 =
+# 171.4k, 16384 = 155.5k, 32768 = 155.4k rays/s.
+_C.TEST.RAY_CHUNK = 8192
 _C.TEST.LPIPS_WEIGHTS = ""         # optional path to LPIPS weights; gated if empty
 
 _C.OUTPUT_DIR = ""
