@@ -224,6 +224,19 @@ class RenderSettings:
     max_surface_dist: float = 0.1
     white_bkgd: bool = False
 
+    def __post_init__(self):
+        # cfg.MODEL.MLP_CHUNK <= 0 is the "auto" sentinel and must be
+        # resolved (resolve_mlp_chunk / from_cfg) BEFORE constructing
+        # settings — otherwise it would surface later as a cryptic
+        # negative-reshape error inside the jitted pipeline.
+        if self.mlp_chunk < 1:
+            raise ValueError(
+                f"RenderSettings.mlp_chunk={self.mlp_chunk}: pass a "
+                "positive chunk, or resolve the config's auto sentinel "
+                "with renderer.resolve_mlp_chunk(cfg.MODEL.MLP_CHUNK, "
+                "shade_topk)"
+            )
+
     @classmethod
     def from_cfg(cls, cfg) -> "RenderSettings":
         shade_topk = max(getattr(cfg.MODEL, "SHADE_TOPK", 0), 0)
