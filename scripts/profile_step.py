@@ -132,15 +132,21 @@ if __name__ == "__main__":
     cents_w = face_centroids(geom.verts_world, geom.faces)
     cents_c = face_centroids(geom.verts_cano, geom.faces)
 
+    # centroids are TRACED args, matching the pipeline — closing them over
+    # the jit as constants adds ~8 ms/call (README KNN section)
     knn = jax.jit(
-        lambda p: (
-            pruned_search_presorted(p, cents_w, geom.face_perm),
-            pruned_search_presorted(p, cents_c, geom.face_perm),
+        lambda p, cw, cc: (
+            pruned_search_presorted(p, cw, geom.face_perm),
+            pruned_search_presorted(p, cc, geom.face_perm),
         )
     )
-    print(f"2x pruned KNN ({n} pts) : {timeit(knn, pts, iters=args.iters):8.2f} ms")
-    knn1 = jax.jit(lambda p: pruned_search_presorted(p, cents_w, geom.face_perm))
-    print(f"1x pruned KNN           : {timeit(knn1, pts, iters=args.iters):8.2f} ms")
+    print(f"2x pruned KNN ({n} pts) : "
+          f"{timeit(knn, pts, cents_w, cents_c, iters=args.iters):8.2f} ms")
+    knn1 = jax.jit(
+        lambda p, cw: pruned_search_presorted(p, cw, geom.face_perm)
+    )
+    print(f"1x pruned KNN           : "
+          f"{timeit(knn1, pts, cents_w, iters=args.iters):8.2f} ms")
 
     from dual_space_nerf_tpu.ops.gg_pallas import gg_near_far_pallas
 
