@@ -173,9 +173,83 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "rays/s @ 64 samples/ray, full train step",
         "vs_baseline": round(rays_per_s / ASSUMED_REFERENCE_RAYS_PER_S, 2),
+        # self-describing caveats (VERDICT r3 #6): the reference publishes
+        # no numbers; every vs_baseline divides by an ASSUMED 5,000 rays/s
+        # (BASELINE.md). `value` is a DEVICE-STEP rate (pre-built batch);
+        # `sustained` below is the end-to-end loop including the host
+        # loader — the honest comparable to the reference's own logged
+        # rays/s (`trainer.py:97-108`), which includes its dataloader.
+        "baseline_assumed_rays_per_s": ASSUMED_REFERENCE_RAYS_PER_S,
+        "value_semantics": "device step rate on a pre-built batch; see "
+                           "'sustained' for the loader-inclusive rate",
     }
     if note:
         record["note"] = note
+
+    # ---- sustained end-to-end training throughput (host loader included) ---
+    # The real do_train dataflow: PrefetchLoader workers decode/sample items
+    # (epoch 1 fills the decoded-frame cache, later epochs are the sampling
+    # loop only — matching a cached ZJU epoch), the batch conversion runs in
+    # the workers, and the measured wall time covers EVERYTHING the step
+    # loop waits on. Reference comparable: `trainer.py:97-108`.
+    if os.environ.get("BENCH_SUSTAINED", "1") == "1":
+        try:
+            from dual_space_nerf_tpu.data import PrefetchLoader
+            from dual_space_nerf_tpu.data.batching import (
+                item_to_mesh as _itm,
+                item_to_train_batch as _itb,
+            )
+
+            sus_ds = SyntheticDataset(
+                split="train", nrays=NRAYS,
+                n_frames=5, n_views=2, h=512, w=512,
+            )
+            sus_faces = np.asarray(sus_ds.faces)
+
+            def to_device(it):
+                return (
+                    _itb(it, NRAYS),
+                    _itm(it, sus_faces, sus_ds.canonical_vertex),
+                )
+
+            n_workers = int(os.environ.get("BENCH_WORKERS", "4"))
+            state = create_train_state(model, tx, jax.random.key(0))
+            step = make_train_step(model, tx, settings=settings, loss_type="L2")
+
+            def one_epoch(epoch_seed):
+                nonlocal state
+                loader = PrefetchLoader(
+                    sus_ds, shuffle=True, num_workers=n_workers,
+                    seed=epoch_seed, transform=to_device,
+                )
+                n = 0
+                for b, g in loader:
+                    state, m = step(state, b, g, key)
+                    n += 1
+                float(m["loss"])  # true execution barrier (axon)
+                return n
+
+            one_epoch(0)   # warmup: compile + fill the decoded-frame cache
+            t0 = time.perf_counter()
+            steps = sum(one_epoch(e) for e in range(1, 4))
+            dt = time.perf_counter() - t0
+            record["sustained"] = {
+                "rays_per_s": round(steps * NRAYS / dt, 1),
+                "vs_baseline": round(
+                    steps * NRAYS / dt / ASSUMED_REFERENCE_RAYS_PER_S, 2
+                ),
+                "items_per_s": round(steps / dt, 2),
+                "semantics": f"{steps} steps of the real loader+step loop "
+                             f"({n_workers} workers, decoded-frame cache "
+                             "warm), wall clock incl. all host time",
+                "pct_of_step_rate": round(
+                    100.0 * (steps * NRAYS / dt) / rays_per_s, 1
+                ),
+            }
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            print("bench: sustained measurement failed; omitting",
+                  file=sys.stderr)
 
     # Reference-EXACT semantics next to the headline (unless the run above
     # already WAS exact, or the sweep is explicitly pinned via env).

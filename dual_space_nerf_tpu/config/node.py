@@ -138,6 +138,13 @@ def _check_type(new: Any, old: Any, key: str) -> Any:
         return new
     if isinstance(old, bool) and isinstance(new, int):
         return bool(new)
+    if isinstance(old, str) and isinstance(new, bool):
+        # tri-state knobs documented as "auto" | True | False (MODEL.REMAT,
+        # MODEL.FUSED_MLP): a YAML `REMAT: true` (or unquoted on/off, which
+        # PyYAML 1.1 parses as bool) and the CLI override `MODEL.REMAT True`
+        # must merge into the "auto" string default; the _resolve_* policies
+        # accept bools directly.
+        return new
     if isinstance(old, float) and isinstance(new, int):
         return float(new)
     if isinstance(old, (list, tuple)) and isinstance(new, (list, tuple)):

@@ -94,17 +94,21 @@ def _spatial_tables_for(faces: np.ndarray, verts_cano: np.ndarray):
     arrays (re-uploading them per item would churn H2D transfers)."""
     key = _mesh_cache_key(faces, verts_cano)
     if key not in _CLUSTER_CACHE:
-        from ..ops import build_face_clusters, face_centroids
+        from ..ops import build_face_clusters
         from ..ops.pruned_knn import build_face_tiles
 
-        cano = jnp.asarray(verts_cano, jnp.float32)
-        faces_dev = jnp.asarray(faces, jnp.int32)
-        cents = np.asarray(face_centroids(cano, faces_dev))
+        # the whole build is plain numpy — a device round-trip here costs
+        # ~20 s of backend-init + gather-compile on a 1-core virtual-CPU
+        # host (the dryrun environment) for work numpy does in milliseconds
+        faces_np = np.asarray(faces, np.int64)
+        cents = np.asarray(verts_cano, np.float32)[faces_np].mean(axis=1)
         table = np.asarray(build_face_clusters(cents).table)
         face_perm = jnp.asarray(table[table >= 0].ravel(), jnp.int32)
-        tile_table = build_face_tiles(jnp.asarray(cents))
+        tile_table = build_face_tiles(cents)
         _CLUSTER_CACHE[key] = (
-            jnp.asarray(table), face_perm, tile_table, faces_dev, cano
+            jnp.asarray(table), face_perm, tile_table,
+            jnp.asarray(faces, jnp.int32),
+            jnp.asarray(verts_cano, jnp.float32),
         )
     return _CLUSTER_CACHE[key]
 

@@ -84,6 +84,7 @@ class H36M:
     def __init__(
         self, cfg, data_root, human, ann_file, split, nrays=2000,
         test_novel_pose=False, is_eval=False, is_formal=True,
+        seed: int | None = 233,
     ):
         self.cfg = cfg
         self.data_root = data_root
@@ -92,7 +93,17 @@ class H36M:
         self.is_eval = is_eval
         self.test_novel_pose = test_novel_pose
         self.nrays = nrays
-        self.rng = np.random.default_rng()
+        # seeded like the reference's global np.random.seed(233)
+        # (`main.py:22-26`): eval frame codes reproduce across runs
+        self.rng = np.random.default_rng(seed)
+        # epoch-persistent decoded-frame cache (see data/zju.py; H36M
+        # frames cache as float32 post-undistort — the reference undistorts
+        # the /255 float image, so a uint8 cache would not be bit-identical)
+        from .zju import cache_images_enabled
+
+        self.cache_images = cache_images_enabled()
+        self._image_cache: dict[int, tuple] = {}
+        self._input_cache: dict[int, tuple] = {}
 
         annots = np.load(ann_file, allow_pickle=True).item()
         self.cams = annots["cams"]
@@ -161,6 +172,17 @@ class H36M:
         return msk, orig_msk, msk_cihp
 
     def prepare_input(self, i):
+        if self.cache_images:
+            hit = self._input_cache.get(i)
+            if hit is None:
+                hit = self._prepare_input_uncached(i)
+                self._input_cache[i] = hit
+            # all consumers treat these as read-only (poses goes through
+            # .astype copies before leaving __getitem__)
+            return hit
+        return self._prepare_input_uncached(i)
+
+    def _prepare_input_uncached(self, i):
         wxyz = np.load(
             os.path.join(self.data_root, self.cfg.vertices, f"{i}.npy")
         ).astype(np.float32)
@@ -176,7 +198,14 @@ class H36M:
         A = get_rigid_transformation(poses, self.joints, self.parents)
         return wxyz, pxyz, A, R, Th, poses
 
-    def __getitem__(self, index):
+    def _decode_frame(self, index: int):
+        """Decoded frame products (img f32, msk, orig_msk, eroded cihp, H, W)
+        — everything per-index that is constant across epochs; cached."""
+        if self.cache_images:
+            hit = self._image_cache.get(index)
+            if hit is not None:
+                return hit
+
         img_path = os.path.join(self.data_root, self.ims[index])
         img = cv2.imread(img_path).astype(np.float32) / 255.0
         msk, orig_msk, msk_cihp = self.get_mask(index)
@@ -193,16 +222,31 @@ class H36M:
         orig_msk = camera_utils.undistort(orig_msk, K, D)
         msk_cihp = camera_utils.undistort(msk_cihp, K, D)
 
-        R = np.array(self.cams["R"][cam_ind])
-        T = np.array(self.cams["T"][cam_ind]) / 1000.0
-
         H, W = int(H * self.cfg.ratio), int(W * self.cfg.ratio)
         img = cv2.resize(img, (W, H), interpolation=cv2.INTER_AREA)
         msk = cv2.resize(msk, (W, H), interpolation=cv2.INTER_NEAREST)
         orig_msk = cv2.resize(orig_msk, (W, H), interpolation=cv2.INTER_NEAREST)
         img[orig_msk == 0] = 0
-        K = K.copy()
+
+        kernel = np.ones((10, 10), np.uint8)
+        msk_cihp_eroded = cv2.erode(msk_cihp.copy(), kernel)
+        msk_cihp_eroded = cv2.resize(
+            msk_cihp_eroded, (W, H), interpolation=cv2.INTER_NEAREST
+        )
+        out = (img, msk, orig_msk, msk_cihp_eroded, H, W)
+        if self.cache_images:
+            self._image_cache[index] = out
+        return out
+
+    def __getitem__(self, index):
+        img_path = os.path.join(self.data_root, self.ims[index])
+        img, msk, orig_msk, msk_cihp_eroded, H, W = self._decode_frame(index)
+
+        cam_ind = self.cam_inds[index]
+        K = np.array(self.cams["K"][cam_ind]).copy()
         K[:2] = K[:2] * self.cfg.ratio
+        R = np.array(self.cams["R"][cam_ind])
+        T = np.array(self.cams["T"][cam_ind]) / 1000.0
 
         i = int(os.path.basename(img_path)[:-4])
         frame_index = i
@@ -210,12 +254,6 @@ class H36M:
         wpts, ppts, A, Rh, Th, poses = self.prepare_input(i)
         wbounds = get_bounds(wpts)
         pbounds = get_bounds(ppts)
-
-        kernel = np.ones((10, 10), np.uint8)
-        msk_cihp_eroded = cv2.erode(msk_cihp.copy(), kernel)
-        msk_cihp_eroded = cv2.resize(
-            msk_cihp_eroded, (W, H), interpolation=cv2.INTER_NEAREST
-        )
 
         nrays = self.nrays if self.split == "train" else -1
         rgb, ray_o, ray_d, near, far, coord, mask_at_box, _ = sample_rays(

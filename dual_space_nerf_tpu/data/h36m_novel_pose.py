@@ -33,7 +33,13 @@ class H36MNovelPoses(H36M):
         self.is_eval = is_eval
         self.test_novel_pose = test_novel_pose
         self.nrays = nrays
-        self.rng = np.random.default_rng()
+        # seeded like the reference's global np.random.seed(233)
+        self.rng = np.random.default_rng(233)
+        from .zju import cache_images_enabled
+
+        self.cache_images = cache_images_enabled()
+        self._image_cache = {}
+        self._input_cache = {}
 
         annots = np.load(ann_file, allow_pickle=True).item()
         self.cams = annots["cams"]

@@ -36,6 +36,14 @@ _WORKER_DATASET = None
 def _init_worker(dataset):
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
+    # the parent process is threaded by the time an epoch iterates (JAX
+    # backend threads, cv2's internal pool): a forked child inherits cv2's
+    # thread-pool STATE but not its threads, so the first parallel cv2 call
+    # would deadlock — pin the workers to single-threaded cv2 (items are
+    # already process-parallel here)
+    import cv2
+
+    cv2.setNumThreads(0)
 
 
 def _get_item(i: int):
@@ -81,7 +89,16 @@ class PrefetchLoader:
     def _iter_process(self, order) -> Iterator:
         """Forked worker processes sample items; the device transform runs
         on the consumer thread. fork shares the dataset's numpy tables
-        copy-on-write — nothing re-pickles per item."""
+        copy-on-write — nothing re-pickles per item.
+
+        fork-after-init hazard: this pool forks at epoch-iteration time,
+        AFTER the JAX backend (and usually cv2's thread pool) started
+        threads; forking a threaded process is only safe because the
+        children never touch JAX (the transform runs on the consumer
+        thread) and pin cv2 to 0 threads (`_init_worker`). If a future
+        host still hangs here, switch to the default "thread" backend —
+        the decoded-image cache makes post-warmup items cheap enough that
+        one thread feeds the step loop."""
         ctx = multiprocessing.get_context("fork")
         pool = ctx.Pool(
             self.num_workers, initializer=_init_worker,

@@ -71,13 +71,33 @@ class SyntheticDataset:
                 )
         self.canonical_vertex = self.items[0][2].verts_cano
         self.faces = self.items[0][2].faces
+        # epoch-persistent rendered-frame cache — the splat is this
+        # dataset's analog of ZJU's imread/undistort/resize decode (see
+        # data/zju.py::cache_images_enabled); with it, items after the
+        # first epoch reduce to the pixel-sampling loop, matching what the
+        # real loaders do
+        from .zju import cache_images_enabled
+
+        self.cache_images = cache_images_enabled()
+        self._image_cache: dict[int, tuple] = {}
 
     def __len__(self):
         return len(self.items)
 
+    def _rendered_frame(self, idx):
+        if self.cache_images:
+            hit = self._image_cache.get(idx)
+            if hit is not None:
+                return hit
+        scene = self.items[idx][2]
+        out = splat_image(scene, self.h, self.w, essence=self.essence)
+        if self.cache_images:
+            self._image_cache[idx] = out
+        return out
+
     def __getitem__(self, idx):
         frame, view, scene = self.items[idx]
-        img, mask = splat_image(scene, self.h, self.w, essence=self.essence)
+        img, mask = self._rendered_frame(idx)
         rgb, ray_o, ray_d, near, far, coord, mask_at_box, bound_mask = sample_rays(
             img, scene.K, scene.R, scene.T, scene.bounds,
             mask=mask, face_mask=None, nrays=self.nrays, rng=self.rng,

@@ -30,8 +30,28 @@ from .rays import sample_rays
 _ANNOT_SUBJECTS = ("CoreView_313", "CoreView_315")
 
 
+def cache_images_enabled(default: bool = True) -> bool:
+    """Epoch-persistent decoded-image cache switch (DSNERF_IMAGE_CACHE).
+
+    The reference re-decodes every image every epoch (its Dataset has no
+    cache and torch DataLoader workers restart per epoch); here the posed
+    SMPL assets + images of a training split are a few hundred MB decoded,
+    so items after the first epoch reduce to the pixel-sampling loop —
+    the host-side fix that lets the loader feed the TPU step rate
+    (BENCH `sustained`). '0' disables for memory-constrained hosts."""
+    raw = os.environ.get("DSNERF_IMAGE_CACHE")
+    if raw is None:
+        return default
+    if raw not in ("0", "1"):
+        raise ValueError(f"DSNERF_IMAGE_CACHE={raw!r} must be '0' or '1'")
+    return raw == "1"
+
+
 class MocapBase:
-    def __init__(self, human="CoreView_377", ratio=0.5, nrays=500, data_dir=None):
+    def __init__(
+        self, human="CoreView_377", ratio=0.5, nrays=500, data_dir=None,
+        seed: int | None = 233, cache_images: bool = True,
+    ):
         self.human = human
         self.data_root = f"{data_dir}/{human}"
         self.smpl_dir = os.path.join(self.data_root, "new_params")
@@ -40,7 +60,17 @@ class MocapBase:
         self.ratio = ratio
         self.nrays = nrays
         self.mode = "train"
-        self.rng = np.random.default_rng()
+        # Seeded like the reference, which seeds np.random globally with 233
+        # (`main.py:22-26`) so Mocap_infer's random frame codes — and hence
+        # test.py/validate.py metrics — are reproducible across runs.
+        self.rng = np.random.default_rng(seed)
+        # Epoch-persistent caches: decoded frames (post-undistort,
+        # fg-multiplied, resized uint8 image + masks; ~1 MB per image at
+        # ratio 0.5 -> ~250 MB for a ZJU-313 train split) and per-frame SMPL
+        # inputs. After epoch 1, __getitem__ is only the sampling loop.
+        self.cache_images = cache_images_enabled(cache_images)
+        self._image_cache: dict[str, tuple] = {}
+        self._input_cache: dict[int, tuple] = {}
 
         if human in _ANNOT_SUBJECTS:
             ann_file = os.path.join(self.data_root, "annots.npy")
@@ -93,6 +123,24 @@ class MocapBase:
         return msk_fg[..., None], msk_cihp[..., None]
 
     def prepare_input(self, i: int):
+        if self.cache_images:
+            hit = self._input_cache.get(i)
+            if hit is not None:
+                poses, xyz, world_bounds, Rh, Th = hit
+                # small arrays copied: consumers may hold/modify them; xyz
+                # (the one large array) is read-only by every consumer
+                return (
+                    poses.copy(), xyz, world_bounds.copy(), Rh.copy(),
+                    Th.copy(),
+                )
+        out = self._prepare_input_uncached(i)
+        if self.cache_images:
+            self._input_cache[i] = out
+            poses, xyz, world_bounds, Rh, Th = out
+            return poses.copy(), xyz, world_bounds.copy(), Rh.copy(), Th.copy()
+        return out
+
+    def _prepare_input_uncached(self, i: int):
         xyz = np.load(os.path.join(self.vertices_dir, f"{i}.npy")).astype(
             np.float32
         )
@@ -119,14 +167,19 @@ class MocapBase:
             poses[2, 2] += 0.6
         return poses, xyz, world_bounds, Rh, Th
 
-    # -- item ----------------------------------------------------------------
-    def __getitem__(self, idx: int) -> dict:
-        img_path = self.all_img_path[idx]
-        img = cv2.imread(img_path)
-        raw_frame = self._raw_frame_name(img_path)
-        cam_name = img_path.split("/")[-2]
+    def _decode_frame(self, img_path: str):
+        """Decoded frame products: (uint8 image — undistorted, fg-multiplied,
+        resized — plus resized fg/cihp masks). Cached per path: these are
+        constant across epochs, and the uint8 image is bit-identical to the
+        uncached pipeline (the /255 float conversion happens per item)."""
+        if self.cache_images:
+            hit = self._image_cache.get(img_path)
+            if hit is not None:
+                return hit
 
-        K = np.array(self.cams[cam_name]["K"], np.float64).copy()
+        img = cv2.imread(img_path)
+        cam_name = img_path.split("/")[-2]
+        K = np.array(self.cams[cam_name]["K"], np.float64)
         D = np.array(self.cams[cam_name]["dist"])
         img = camera_utils.undistort(img, K, D)
 
@@ -134,7 +187,6 @@ class MocapBase:
         img = img * msk_fg
 
         if self.ratio != 1:
-            K[:2] = K[:2] * self.ratio
             img = cv2.resize(
                 img, (0, 0), fx=self.ratio, fy=self.ratio,
                 interpolation=cv2.INTER_AREA,
@@ -147,6 +199,21 @@ class MocapBase:
                 msk_cihp, (0, 0), fx=self.ratio, fy=self.ratio,
                 interpolation=cv2.INTER_NEAREST,
             )
+        out = (img, msk_fg, msk_cihp)
+        if self.cache_images:
+            self._image_cache[img_path] = out
+        return out
+
+    # -- item ----------------------------------------------------------------
+    def __getitem__(self, idx: int) -> dict:
+        img_path = self.all_img_path[idx]
+        raw_frame = self._raw_frame_name(img_path)
+        cam_name = img_path.split("/")[-2]
+
+        img, msk_fg, msk_cihp = self._decode_frame(img_path)
+        K = np.array(self.cams[cam_name]["K"], np.float64).copy()
+        if self.ratio != 1:
+            K[:2] = K[:2] * self.ratio
         img = img / 255.0
         R = np.array(self.cams[cam_name]["R"])
         T = np.array(self.cams[cam_name]["T"])
@@ -213,9 +280,13 @@ class Mocap(MocapBase):
 
     def __init__(
         self, human="CoreView_377", ratio=0.5, nrays=500, begin=0, end=300,
-        train_views=(0, 6, 12, 18), data_dir=None,
+        train_views=(0, 6, 12, 18), data_dir=None, seed=233,
+        cache_images=True,
     ):
-        super().__init__(human, ratio, nrays, data_dir)
+        super().__init__(
+            human, ratio, nrays, data_dir, seed=seed,
+            cache_images=cache_images,
+        )
         all_img = []
         for view in train_views:
             all_img += self._frames_in(self._cam_dir_name(view), begin, end)
@@ -230,9 +301,12 @@ class MocapView(MocapBase):
     def __init__(
         self, human="CoreView_377", ratio=0.5, begin=0, end=300,
         train_views=(0, 6, 12, 18), train_max_frame=300, interval=30,
-        vis_views=None, data_dir=None,
+        vis_views=None, data_dir=None, seed=233, cache_images=True,
     ):
-        super().__init__(human, ratio, nrays=-1, data_dir=data_dir)
+        super().__init__(
+            human, ratio, nrays=-1, data_dir=data_dir, seed=seed,
+            cache_images=cache_images,
+        )
         self.vis_views = vis_views
         views = []
         if vis_views is None:
@@ -269,9 +343,13 @@ class MocapInfer(MocapBase):
     def __init__(
         self, human="CoreView_377", ratio=0.5, begin=0, end=300,
         train_views=(0, 6, 12, 18), train_max_frame=300, interval=30,
-        eval_begin_frame=60, novel_pose=False, data_dir=None,
+        eval_begin_frame=60, novel_pose=False, data_dir=None, seed=233,
+        cache_images=True,
     ):
-        super().__init__(human, ratio, nrays=-1, data_dir=data_dir)
+        super().__init__(
+            human, ratio, nrays=-1, data_dir=data_dir, seed=seed,
+            cache_images=cache_images,
+        )
         views = []
         for view in range(len(self.cams.keys())):
             if view not in train_views:

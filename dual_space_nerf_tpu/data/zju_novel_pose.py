@@ -41,6 +41,9 @@ class NovelPoseMixin:
         """Re-point pose/vertex sources at a novel-pose example sequence."""
         self.smpl_dir = smpl_dir
         self.vertices_dir = vertices_dir
+        # the per-frame SMPL-input cache is keyed by frame index only; a
+        # dir re-point invalidates it
+        self._input_cache.clear()
 
     def __getitem__(self, idx: int) -> dict:
         # fixed camera/image; pose advances 4 frames per item

@@ -433,10 +433,14 @@ def _listed_kernel_slim(
     tie-lane pick) but drops the 3x (P, BF) VMEM read-modify-write — the
     wide kernel's visit loop is VMEM-traffic-bound, not d2-bound.
 
-    Tie semantics match the wide kernel's decode exactly: the smallest
-    (tile, lane) global slot among all slots achieving the min distance —
-    within a visit via the masked-lane min, across visits via the strict <
-    then min-on-equal update."""
+    Tie semantics: within this kernel, the smallest global slot among all
+    slots achieving the min distance (masked-lane min within a visit,
+    strict-< then min-on-equal across visits). On an exact cross-tile
+    distance tie this can differ from the wide kernel, which keeps the
+    FIRST-VISITED tile per lane (visit order = the plan's lower-bound
+    sort, not slot order) — both return some nearest face, but slim A/Bs
+    against the wide default are only tie-break-reproducible, not
+    bit-reproducible."""
 
     def tile_d2(t, px, py, pz):
         start = t * block_f

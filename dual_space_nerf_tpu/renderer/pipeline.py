@@ -716,9 +716,11 @@ def _render_with_z(
         # activations, so the whole warp -> posenc -> network -> transport
         # -> lighting chain runs as ONE top-level XLA expression (no
         # lax.map) with every face-row gather fused into its elementwise
-        # consumers. This is the production full-shading (SHADE_TOPK=0)
-        # configuration on TPU; the non-fused path below keeps the
-        # reference-structured materialized dataflow (the CPU/golden route).
+        # consumers. Forced-ON A/B path only (FUSED_MLP "auto" resolves OFF
+        # everywhere — the kernel pair lost every composed r3 A/B, see
+        # defaults.py); production full shading is the XLA face-id
+        # dataflow below. Kept exactness-pinned for kernel regression
+        # coverage (tests/test_fused_mlp.py).
         return _full_shading_fused(
             params, model, batch, mesh, settings, light, rng_noise, train,
             z_vals, pts_w_flat, dir_w_flat, fidx_w, centroids_c, code,
@@ -1178,9 +1180,13 @@ def _full_shading_fused(
     fused kernel pair (ops/fused_mlp.py) keeps all (N, 256) backbone
     activations in VMEM, so nothing here needs lax.map microbatching —
     the transport/lighting tensors that remain are (N, small) and their
-    face-row gathers fuse into elementwise consumers. Measured on v5e at
-    the ZJU-313 train workload: 81.0k rays/s (materialized XLA path) ->
-    see README perf table for this path's number.
+    face-row gathers fuse into elementwise consumers.
+
+    Forced-ON (FUSED_MLP "on") A/B path, not production: once the XLA
+    paths adopted the same face-id dataflow, the fused pair measured
+    SLOWER in every composed v5e config (exact train 61.7k vs 81.3k
+    rays/s, bench/r3) — "auto" resolves OFF and the XLA face-id full
+    path below is what ships. Kept exactness-pinned (test_fused_mlp.py).
     """
     r, s = z_vals.shape
     n = r * s

@@ -79,6 +79,26 @@ def test_render_settings_auto_policies():
         _resolve_remat("maybe", 0)
 
 
+def test_bool_overrides_merge_into_auto_sentinels(tmp_path):
+    """The tri-state knobs documented as "auto" | True | False must accept
+    bool replacements through BOTH config surfaces: a YAML `REMAT: true`
+    (incl. unquoted on/off, which PyYAML 1.1 parses as bools) and the CLI
+    override list."""
+    from dual_space_nerf_tpu.renderer import RenderSettings
+
+    yml = tmp_path / "o.yml"
+    yml.write_text("MODEL:\n  REMAT: true\n  FUSED_MLP: off\n")
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(str(yml))
+    assert cfg.MODEL.REMAT is True and cfg.MODEL.FUSED_MLP is False
+    s = RenderSettings.from_cfg(cfg)
+    assert s.remat is True and s.fused_mlp is False
+
+    cfg2 = get_cfg_defaults()
+    cfg2.merge_from_list(["MODEL.REMAT", "True", "MODEL.FUSED_MLP", "False"])
+    assert cfg2.MODEL.REMAT is True and cfg2.MODEL.FUSED_MLP is False
+
+
 def test_listed_slot_space_matches_face_space():
     """A render through the listed search (slot-space ids) must equal the
     same render through the brute XLA search (face-id space)."""

@@ -247,8 +247,9 @@ def _morton_sorted(pts):
     return pts[order], order
 
 
-# all kernel branches: slim (the production default), wide, and wide+tighten
-# (kept for A/Bs — exact either way; parametrizing stops silent rot)
+# all kernel branches: wide (the production default), slim and wide+tighten
+# (both measured-negative, kept OFF as recorded A/B knobs — exact either
+# way; parametrizing stops silent rot)
 @pytest.mark.parametrize("slim,tighten", [(True, False), (False, False),
                                           (False, True)])
 def test_listed_near_surface(smpl_like, smpl_tiles, rng_np, slim, tighten):

@@ -266,6 +266,70 @@ def test_313_infer_splits(zju313_tree):
     assert 0 <= item["frame"] < 3            # frame code randomized
 
 
+def test_infer_runs_are_deterministic(zju313_tree):
+    """Two fresh eval passes over the same tree must emit identical items —
+    the reference seeds np.random globally with 233 (`main.py:22-26`) so its
+    Mocap_infer frame codes (and hence test.py metrics) reproduce across
+    runs; the datasets' own rngs are seeded to match."""
+    def run():
+        ds = MocapInfer(
+            human="CoreView_313", ratio=RATIO, begin=0, end=N_FRAMES,
+            train_views=tuple(range(19)), train_max_frame=3, interval=1,
+            eval_begin_frame=3, novel_pose=True, data_dir=zju313_tree,
+        )
+        return [ds[i] for i in range(len(ds))]
+
+    a, b = run(), run()
+    assert [x["frame"] for x in a] == [y["frame"] for y in b]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["ray_o"], y["ray_o"])
+        np.testing.assert_array_equal(x["rgb"], y["rgb"])
+
+    # training sampling is reproducible the same way
+    def train_run():
+        ds = Mocap(
+            human="CoreView_313", ratio=RATIO, nrays=64, begin=0,
+            end=N_FRAMES, train_views=(0, 1), data_dir=zju313_tree,
+        )
+        return ds[1]
+
+    x, y = train_run(), train_run()
+    np.testing.assert_array_equal(x["coord"], y["coord"])
+
+
+def test_decoded_image_cache_is_bit_identical(zju313_tree):
+    """Items served from the epoch-persistent decoded-frame cache must be
+    bit-identical to the uncached pipeline, across repeated fetches."""
+    kw = dict(
+        human="CoreView_313", ratio=RATIO, nrays=64, begin=0, end=N_FRAMES,
+        train_views=(0,), data_dir=zju313_tree,
+    )
+    cached = Mocap(**kw, cache_images=True)
+    uncached = Mocap(**kw, cache_images=False)
+    assert cached.cache_images and not uncached.cache_images
+
+    # decode products: cache hit equals a fresh uncached decode, bitwise
+    path = cached.all_img_path[0]
+    cached._decode_frame(path)   # populate
+    img_a, fg_a, cihp_a = cached._decode_frame(path)
+    img_b, fg_b, cihp_b = uncached._decode_frame(path)
+    np.testing.assert_array_equal(img_a, img_b)
+    np.testing.assert_array_equal(fg_a, fg_b)
+    np.testing.assert_array_equal(cihp_a, cihp_b)
+    assert path in cached._image_cache and not uncached._image_cache
+
+    # full-item equality under identical rng state
+    fresh_cached = Mocap(**kw, cache_images=True)
+    fresh_cached[0]              # warm the cache
+    fresh_cached.rng = np.random.default_rng(233)
+    fresh_uncached = Mocap(**kw, cache_images=False)
+    a = fresh_cached[0]
+    b = fresh_uncached[0]
+    for k in ("img", "rgb", "ray_o", "ray_d", "near", "far", "occupancy",
+              "poses", "xyz", "bounds"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 # ---------------------------------------------------------------------------
 # 377-style dataset
 # ---------------------------------------------------------------------------
