@@ -70,7 +70,8 @@ def item_to_train_batch(item: dict, nrays: int) -> TrainBatch:
 
 
 #: (cluster table, face permutation, kd tile table, device faces,
-#: device canonical verts) per canonical mesh
+#: device canonical verts, hoisted canonical listed-search tables)
+#: per canonical mesh
 _CLUSTER_CACHE: dict[tuple, tuple] = {}
 
 
@@ -105,18 +106,38 @@ def _spatial_tables_for(faces: np.ndarray, verts_cano: np.ndarray):
         table = np.asarray(build_face_clusters(cents).table)
         face_perm = jnp.asarray(table[table >= 0].ravel(), jnp.int32)
         tile_table = build_face_tiles(cents)
+        faces_dev = jnp.asarray(faces, jnp.int32)
+        cano_dev = jnp.asarray(verts_cano, jnp.float32)
+        # the CANONICAL mesh is constant for the whole run, so the listed
+        # search's derived tables are computed once here instead of being
+        # re-derived inside every step's graph. Pure numpy, bit-identical
+        # to the in-graph `face_centroids -> listed_tables` derivation
+        # (listed_tables_np docstring + tests pin it); device versions of
+        # the build cost ~18-60 s of compiles at training start.
+        from ..ops.pruned_knn import listed_tables_np
+
+        # XLA's mean lowers to sum * (1/n) with a left-to-right 3-element
+        # sum; np.mean uses a divide and differs in ulps — replicate the
+        # device formula so cent_t matches face_centroids bit for bit
+        tris = np.asarray(verts_cano, np.float32)[faces_np]
+        cents_f32 = ((tris[:, 0] + tris[:, 1]) + tris[:, 2]) * np.float32(
+            1.0 / 3.0
+        )
+        cano_tables = tuple(
+            jnp.asarray(x) for x in listed_tables_np(
+                cents_f32, np.asarray(tile_table)
+            )
+        )
         _CLUSTER_CACHE[key] = (
             jnp.asarray(table), face_perm, tile_table,
-            jnp.asarray(faces, jnp.int32),
-            jnp.asarray(verts_cano, jnp.float32),
+            faces_dev, cano_dev, cano_tables,
         )
     return _CLUSTER_CACHE[key]
 
 
 def item_to_mesh(item: dict, faces: np.ndarray, verts_cano: np.ndarray) -> MeshBundle:
-    table, face_perm, tile_table, faces_dev, cano_dev = _spatial_tables_for(
-        faces, verts_cano
-    )
+    (table, face_perm, tile_table, faces_dev, cano_dev,
+     cano_tables) = _spatial_tables_for(faces, verts_cano)
     return MeshBundle(
         faces=faces_dev,
         verts_world=jnp.asarray(item["xyz"], jnp.float32),
@@ -124,6 +145,7 @@ def item_to_mesh(item: dict, faces: np.ndarray, verts_cano: np.ndarray) -> MeshB
         cluster_table=table,
         face_perm=face_perm,
         tile_table=tile_table,
+        cano_tables=cano_tables,
     )
 
 

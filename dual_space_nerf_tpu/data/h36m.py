@@ -22,7 +22,7 @@ import cv2
 import numpy as np
 
 from . import cameras as camera_utils
-from .rays import get_near_far_h36m, sample_rays
+from .rays import build_sample_pools, get_near_far_h36m, sample_rays
 
 
 def get_bounds(xyz: np.ndarray, delta: float = 0.05) -> np.ndarray:
@@ -104,6 +104,8 @@ class H36M:
         self.cache_images = cache_images_enabled()
         self._image_cache: dict[int, tuple] = {}
         self._input_cache: dict[int, tuple] = {}
+        # static sampler inputs per item (data/rays.py::SamplePools)
+        self._pools_cache: dict[int, object] = {}
 
         annots = np.load(ann_file, allow_pickle=True).item()
         self.cams = annots["cams"]
@@ -256,11 +258,24 @@ class H36M:
         pbounds = get_bounds(ppts)
 
         nrays = self.nrays if self.split == "train" else -1
+        pools = None
+        if self.cache_images:
+            # lazy: subclasses (novel-pose loaders) bypass this __init__
+            if not hasattr(self, "_pools_cache"):
+                self._pools_cache = {}
+            pools = self._pools_cache.get(index)
+        if pools is None:
+            pools = build_sample_pools(
+                H, W, K, R, T, wbounds,
+                mask=(msk == 1).astype(np.uint8), face_mask=msk_cihp_eroded,
+            )
+            if self.cache_images:
+                self._pools_cache[index] = pools
         rgb, ray_o, ray_d, near, far, coord, mask_at_box, _ = sample_rays(
             img, K, R, T, wbounds,
             mask=(msk == 1).astype(np.uint8), face_mask=msk_cihp_eroded,
             nrays=nrays, rng=self.rng, normalize_dirs=True,
-            near_far=get_near_far_h36m,
+            near_far=get_near_far_h36m, pools=pools,
         )
 
         orig_msk_c = crop_mask_edge(orig_msk)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .rays import sample_rays
+from .rays import build_sample_pools, sample_rays
 from .synthetic import SyntheticScene, emission_color, make_scene
 
 
@@ -80,6 +80,8 @@ class SyntheticDataset:
 
         self.cache_images = cache_images_enabled()
         self._image_cache: dict[int, tuple] = {}
+        # static sampler inputs per item (data/rays.py::SamplePools)
+        self._pools_cache: dict[int, object] = {}
 
     def __len__(self):
         return len(self.items)
@@ -98,9 +100,22 @@ class SyntheticDataset:
     def __getitem__(self, idx):
         frame, view, scene = self.items[idx]
         img, mask = self._rendered_frame(idx)
+        pools = None
+        if self.cache_images:
+            if not hasattr(self, "_pools_cache"):
+                self._pools_cache = {}
+            pools = self._pools_cache.get(idx)
+        if pools is None:
+            pools = build_sample_pools(
+                self.h, self.w, scene.K, scene.R, scene.T, scene.bounds,
+                mask=mask, face_mask=None,
+            )
+            if self.cache_images:
+                self._pools_cache[idx] = pools
         rgb, ray_o, ray_d, near, far, coord, mask_at_box, bound_mask = sample_rays(
             img, scene.K, scene.R, scene.T, scene.bounds,
             mask=mask, face_mask=None, nrays=self.nrays, rng=self.rng,
+            pools=pools,
         )
         occupancy = mask[coord[:, 0], coord[:, 1]]
         return {

@@ -25,7 +25,7 @@ import cv2
 import numpy as np
 
 from . import cameras as camera_utils
-from .rays import sample_rays
+from .rays import build_sample_pools, sample_rays
 
 _ANNOT_SUBJECTS = ("CoreView_313", "CoreView_315")
 
@@ -71,6 +71,8 @@ class MocapBase:
         self.cache_images = cache_images_enabled(cache_images)
         self._image_cache: dict[str, tuple] = {}
         self._input_cache: dict[int, tuple] = {}
+        # static sampler inputs per frame (data/rays.py::SamplePools)
+        self._pools_cache: dict[str, object] = {}
 
         if human in _ANNOT_SUBJECTS:
             ann_file = os.path.join(self.data_root, "annots.npy")
@@ -221,9 +223,26 @@ class MocapBase:
         poses, xyz, world_bounds, Rh, Th = self.prepare_input(raw_frame)
 
         msk_cihp2d = msk_cihp.squeeze()
+        # the sampler's static per-frame inputs (projected-AABB mask +
+        # pixel-coordinate pools) cache alongside the decoded frames: after
+        # epoch 1 __getitem__ is only the draw-and-gather loop
+        pools = None
+        if self.cache_images:
+            # lazy: subclasses (novel-pose loaders) bypass this __init__
+            if not hasattr(self, "_pools_cache"):
+                self._pools_cache = {}
+            pools = self._pools_cache.get(img_path)
+        if pools is None:
+            pools = build_sample_pools(
+                img.shape[0], img.shape[1], K, R, T, world_bounds,
+                mask=msk_cihp2d, face_mask=msk_cihp2d,
+            )
+            if self.cache_images:
+                self._pools_cache[img_path] = pools
         rgb, ray_o, ray_d, near, far, coord, mask_at_box, bound_mask = sample_rays(
             img, K, R, T, world_bounds,
-            mask=msk_cihp2d, face_mask=msk_cihp2d, nrays=self.nrays, rng=self.rng,
+            mask=msk_cihp2d, face_mask=msk_cihp2d, nrays=self.nrays,
+            rng=self.rng, pools=pools,
         )
         if msk_fg.ndim == 2:
             msk_fg = msk_fg[..., None]

@@ -423,6 +423,47 @@ def listed_tables(centroids: jnp.ndarray, tile_table: jnp.ndarray):
     return cent_t, tile_c, tile_r, perm_pad, t
 
 
+def listed_tables_np(centroids: np.ndarray, tile_table: np.ndarray):
+    """Pure-numpy `listed_tables(...)[:4]` for HOST-side one-time builds.
+
+    Bit-identical to the jnp version (tests/test_pruned_knn.py pins it):
+    every op here is exact IEEE f32 (min/max/mul/add/compare, 3-element
+    sums, first-occurrence argmin) with the same associativity, so the
+    hoisted canonical tables (data/batching.py) match what the step graph
+    would have derived — without paying a jit compile (~60 s cold on the
+    remote-compile relay) or ~40 eager op-by-op compiles (~18 s) at
+    training start.
+    """
+    tile_table = np.asarray(tile_table)
+    centroids = np.asarray(centroids, np.float32)
+    t, bf = tile_table.shape
+    valid = tile_table >= 0
+    safe = np.maximum(tile_table, 0)
+    cents = centroids[safe].astype(np.float32)                  # (T, BF, 3)
+    big = np.float32(1e15)
+    cents = np.where(valid[..., None], cents, big)
+    cent_t = np.ascontiguousarray(cents.reshape(t * bf, 3).T)   # (3, T*BF)
+
+    lo = np.min(np.where(valid[..., None], cents, big), 1)      # (T, 3)
+    hi = np.max(np.where(valid[..., None], cents, -big), 1)
+    hi = np.where(hi <= -big, big, hi)
+    mid = np.float32(0.5) * (lo + hi)
+    diff = np.where(valid[..., None], cents, np.float32(0.0)) - mid[:, None]
+    d2 = diff * diff
+    # 3-element sum with XLA reduce's associativity: (x + y) + z
+    r2 = (d2[..., 0] + d2[..., 1]) + d2[..., 2]
+    w_idx = np.argmin(np.where(valid, r2, np.inf), -1)          # (T,)
+    witness = np.take_along_axis(cents, w_idx[:, None, None], axis=1)[:, 0]
+
+    t_pad = -(-t // 128) * 128
+    tile_c = np.full((8, t_pad), big, np.float32)
+    tile_c[0:6, :t] = np.concatenate([lo.T, hi.T], axis=0)
+    tile_r = np.full((8, t_pad), big, np.float32)
+    tile_r[0:3, :t] = witness.T
+    perm_pad = np.where(valid, safe, 0).reshape(t * bf).astype(np.int32)
+    return cent_t, tile_c, tile_r, perm_pad
+
+
 def _listed_kernel_slim(
     pts_ref, cent_ref, list_ref, cnt_ref, lbs_ref, idx_ref,
     best_ref, bgid_ref, *, block_f, n_sub, plan_p,
@@ -713,6 +754,7 @@ def pruned_search_listed(
     tighten: bool = _TIGHTEN_LISTED,
     slim: bool = _SLIM_LISTED,
     return_slots: bool = False,
+    tables: tuple | None = None,
 ) -> jnp.ndarray:
     """List-driven exact nearest-face search for spatially-sorted points.
 
@@ -726,13 +768,24 @@ def pruned_search_listed(
     their tables by `slot_perm_from_tiles(tile_table)` once instead of
     paying a 352k-row gather per search (~2.3 ms/step each on v5e). Ties
     are identical either way: the kernel already breaks distance ties by
-    smallest SLOT id."""
+    smallest SLOT id.
+
+    tables: optional precomputed `listed_tables(centroids, tile_table)[:4]`
+    (the four ARRAYS: cent_t, tile_c, tile_r, perm_pad — n_tiles is always
+    re-derived from tile_table.shape so it stays a static Python int). The
+    CANONICAL mesh never changes across a run, so its tables are computed
+    once per mesh on the host (data/batching.py) instead of being
+    re-derived inside every step's graph (~2.3 ms of small-op overhead per
+    search isolated). Must be exactly `listed_tables`' output for the same
+    (centroids, tile_table) — results are then bit-identical.
+    """
     n = pts_sorted.shape[0]
     n_pad = -(-n // block_p) * block_p
     block_f = tile_table.shape[1]
-    cent_t, tile_c, tile_r, perm_pad, n_tiles = listed_tables(
-        centroids, tile_table
-    )
+    if tables is None:
+        tables = listed_tables(centroids, tile_table)[:4]
+    cent_t, tile_c, tile_r, perm_pad = tables
+    n_tiles = tile_table.shape[0]
     pts_p = jnp.pad(
         pts_sorted.astype(jnp.float32), ((0, n_pad - n), (0, 0)),
         mode="edge",

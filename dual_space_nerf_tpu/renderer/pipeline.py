@@ -77,6 +77,10 @@ class MeshBundle(NamedTuple):
     # (T, BF) kd-leaf face tiles for the list-driven search (ops/pruned_knn
     # build_face_tiles); -1 padded. None disables the "listed" impl.
     tile_table: jnp.ndarray | None = None
+    # precomputed `listed_tables(centroids_cano, tile_table)[:4]` for the
+    # CANONICAL mesh (static across a whole run) — hoists the per-step
+    # table derivation out of the graph; see pruned_search_listed(tables=).
+    cano_tables: tuple | None = None
 
 
 class RayBatch(NamedTuple):
@@ -776,6 +780,7 @@ def _render_with_z(
         cidx = pruned_search_listed(
             pts_c_flat, centroids_c, mesh.tile_table,
             interpret=pruned_interp, return_slots=True,
+            tables=mesh.cano_tables,
         )
     elif use_pruned:
         cidx = pruned_search_presorted(
@@ -1023,6 +1028,7 @@ def _gated_shading(
         cidx = pruned_search_listed(
             pc_sel, centroids_c, mesh.tile_table, interpret=not on_tpu,
             return_slots=slot_perm is not None,
+            tables=mesh.cano_tables,
         )
     elif mesh.face_perm is not None and (
         settings.knn_impl == "pruned"
@@ -1131,7 +1137,7 @@ def _search_canonical(
     ):
         return pruned_search_listed(
             pc, centroids_c, mesh.tile_table, interpret=not on_tpu,
-            return_slots=return_slots,
+            return_slots=return_slots, tables=mesh.cano_tables,
         )
     if mesh.face_perm is not None and (
         settings.knn_impl == "pruned"

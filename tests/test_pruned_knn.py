@@ -310,6 +310,56 @@ def test_listed_ragged_counts(smpl_like, smpl_tiles, rng_np, n):
     assert_matches_brute(pts, cents, got)
 
 
+def test_listed_precomputed_tables_bit_identical(smpl_like, smpl_tiles,
+                                                 rng_np):
+    """tables= (the canonical-mesh hoisting path, data/batching.py) must
+    return bit-identical results to the in-call `listed_tables` derivation
+    — it is the same function run once outside the step's graph."""
+    scene, cents, _ = smpl_like
+    base = scene.verts_world[rng_np.integers(0, len(scene.verts_world), 900)]
+    pts = (base + 0.05 * rng_np.standard_normal((900, 3))).astype(np.float32)
+    pts_s, _ = _morton_sorted(pts)
+    hoisted = tuple(listed_tables(jnp.asarray(cents), smpl_tiles)[:4])
+    for slots in (False, True):
+        got = pruned_search_listed(
+            jnp.asarray(pts_s), jnp.asarray(cents), smpl_tiles,
+            interpret=True, block_p=256, return_slots=slots,
+        )
+        via_tables = pruned_search_listed(
+            jnp.asarray(pts_s), jnp.asarray(cents), smpl_tiles,
+            interpret=True, block_p=256, return_slots=slots, tables=hoisted,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(via_tables))
+
+
+def test_listed_tables_np_bit_identical(smpl_like):
+    """The numpy host build (listed_tables_np + numpy centroid mean) must
+    equal the in-graph derivation (face_centroids -> listed_tables) bit for
+    bit — it is what data/batching.py substitutes for the per-step table
+    computation on the canonical mesh."""
+    from dual_space_nerf_tpu.ops import face_centroids
+    from dual_space_nerf_tpu.ops.pruned_knn import listed_tables_np
+
+    scene, cents, _ = smpl_like
+    verts = np.asarray(scene.verts_cano, np.float32)
+    faces = np.asarray(scene.faces)
+    tris = verts[faces]
+    # XLA's mean = left-to-right sum * (1/n); np.mean (a divide) differs
+    # in ulps — data/batching.py replicates the device formula
+    cents_np = ((tris[:, 0] + tris[:, 1]) + tris[:, 2]) * np.float32(1 / 3)
+    cents_dev = face_centroids(
+        jnp.asarray(verts), jnp.asarray(faces, jnp.int32)
+    )
+    np.testing.assert_array_equal(cents_np, np.asarray(cents_dev))
+
+    tiles = build_face_tiles(jnp.asarray(cents_np))
+    ref = listed_tables(jnp.asarray(cents_np), tiles)[:4]
+    got = listed_tables_np(cents_np, np.asarray(tiles))
+    for r, g, name in zip(ref, got, ("cent_t", "tile_c", "tile_r",
+                                     "perm_pad")):
+        np.testing.assert_array_equal(np.asarray(r), g, err_msg=name)
+
+
 def test_listed_tiny_mesh(rng_np):
     """F smaller than one tile width: a single 128-wide padded tile."""
     cents = rng_np.standard_normal((37, 3)).astype(np.float32)
