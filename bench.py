@@ -200,9 +200,12 @@ def main():
                 item_to_train_batch as _itb,
             )
 
+            # 30 items/epoch: small enough to warm quickly, large enough
+            # that the per-epoch loader spin-up amortizes like a real ZJU
+            # epoch (240 items) instead of dominating a 10-item toy epoch
             sus_ds = SyntheticDataset(
                 split="train", nrays=NRAYS,
-                n_frames=5, n_views=2, h=512, w=512,
+                n_frames=10, n_views=3, h=512, w=512,
             )
             sus_faces = np.asarray(sus_ds.faces)
 
@@ -223,15 +226,23 @@ def main():
                     seed=epoch_seed, transform=to_device,
                 )
                 n = 0
+                m = None
                 for b, g in loader:
                     state, m = step(state, b, g, key)
                     n += 1
-                float(m["loss"])  # true execution barrier (axon)
-                return n
+                return n, m
 
-            one_epoch(0)   # warmup: compile + fill the decoded-frame cache
+            n0, m0 = one_epoch(0)  # warmup: compile + fill the frame cache
+            float(m0["loss"])      # true execution barrier (axon)
             t0 = time.perf_counter()
-            steps = sum(one_epoch(e) for e in range(1, 4))
+            steps = 0
+            for e in range(1, 4):
+                n_e, m_e = one_epoch(e)
+                steps += n_e
+            # ONE end barrier: do_train reads metrics one step late and
+            # never blocks per epoch; a per-epoch float() here would charge
+            # the loop a ~200 ms axon D2H round trip per epoch
+            float(m_e["loss"])
             dt = time.perf_counter() - t0
             record["sustained"] = {
                 "rays_per_s": round(steps * NRAYS / dt, 1),
@@ -261,8 +272,12 @@ def main():
             reuse_warp_faces=False,
             fused_mlp=os.environ.get("BENCH_EXACT_FUSED", "0") == "1",
             # full shading pipelines better at finer chunk grain (v5e
-            # sweep: 8192 = 64.9 vs 16384 = 69.5 ms/step)
-            mlp_chunk=resolve_mlp_chunk(cfg.MODEL.MLP_CHUNK, 0),
+            # sweep: 8192 = 64.9 vs 16384 = 69.5 ms/step);
+            # BENCH_EXACT_CHUNK pins it for sweeps
+            mlp_chunk=int(os.environ.get(
+                "BENCH_EXACT_CHUNK",
+                resolve_mlp_chunk(cfg.MODEL.MLP_CHUNK, 0),
+            )),
             # exact shades all 64 samples: its second-order graph is
             # HBM-heavy and measures ~5% FASTER under remat (69.5 vs
             # 73.4 ms solo, v5e 2026-08-19); the gated headline stays

@@ -13,6 +13,26 @@ from ..renderer import RenderSettings
 from ..training import Checkpointer, create_train_state, make_optimizer
 
 
+def enable_compilation_cache():
+    """Persistent XLA compile cache for every CLI entry point.
+
+    Same settings as bench.py: repeat runs of identical graph shapes
+    (sweeps, A/B fleets, resumed training) start in seconds instead of
+    re-compiling for minutes through the remote compile service. Opt out
+    with DSNERF_COMPILE_CACHE=0; relocate with DSNERF_COMPILE_CACHE_DIR.
+    """
+    if os.environ.get("DSNERF_COMPILE_CACHE", "1") == "0":
+        return
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("DSNERF_COMPILE_CACHE_DIR", ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def load_cfg(config_path: str):
     cfg = get_cfg_defaults()
     if config_path:

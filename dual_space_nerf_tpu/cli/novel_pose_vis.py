@@ -101,7 +101,16 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
-    from .common import epoch_from_ckpt, eval_settings, load_cfg, load_faces, load_render_state
+    from .common import (
+        enable_compilation_cache,
+        epoch_from_ckpt,
+        eval_settings,
+        load_cfg,
+        load_faces,
+        load_render_state,
+    )
+
+    enable_compilation_cache()
 
     cfg = load_cfg(args.config)
     epoch = epoch_from_ckpt(args.ckpt)

@@ -47,7 +47,14 @@ def main(argv=None):
     from ..parallel import local_ray_mesh, pad_rays_for_mesh
     from ..training.loop import do_train
     from ..utils.logger import make_summary_writer, setup_logger
-    from .common import build_model, load_cfg, load_faces
+    from .common import (
+        build_model,
+        enable_compilation_cache,
+        load_cfg,
+        load_faces,
+    )
+
+    enable_compilation_cache()
 
     cfg = load_cfg(args.config)
     mesh_devices = local_ray_mesh()

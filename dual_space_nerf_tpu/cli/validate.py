@@ -80,7 +80,16 @@ def main(argv=None):
 
     from ..data import select_dataset
     from ..parallel import local_ray_mesh
-    from .common import epoch_from_ckpt, eval_settings, load_cfg, load_faces, load_render_state
+    from .common import (
+        enable_compilation_cache,
+        epoch_from_ckpt,
+        eval_settings,
+        load_cfg,
+        load_faces,
+        load_render_state,
+    )
+
+    enable_compilation_cache()
 
     cfg = load_cfg(args.config)
     _, val_set = select_dataset(cfg, train_nrays=cfg.SOLVER.TRAIN_NRAYS)

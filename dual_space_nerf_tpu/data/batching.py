@@ -135,9 +135,53 @@ def _spatial_tables_for(faces: np.ndarray, verts_cano: np.ndarray):
     return _CLUSTER_CACHE[key]
 
 
+#: posed-mesh listed-search tables keyed by (mesh key, xyz bytes hash) —
+#: ZJU reuses each frame's posed mesh every epoch, so this hits after
+#: epoch 1 exactly like the decoded-frame caches
+_WORLD_TABLE_CACHE: dict[tuple, tuple] = {}
+
+
+def _world_tables_for(xyz: np.ndarray, faces_np: np.ndarray, mesh_key):
+    from ..ops.pruned_knn import listed_tables_np
+
+    xyz32 = np.ascontiguousarray(xyz, np.float32)
+    key = (mesh_key, hash(xyz32.tobytes()))
+    hit = _WORLD_TABLE_CACHE.get(key)
+    if hit is None:
+        tile_table = np.asarray(_CLUSTER_CACHE[mesh_key][2])
+        tris = xyz32[faces_np]
+        cents = ((tris[:, 0] + tris[:, 1]) + tris[:, 2]) * np.float32(
+            1.0 / 3.0
+        )
+        hit = tuple(
+            jnp.asarray(x) for x in listed_tables_np(cents, tile_table)
+        )
+        if len(_WORLD_TABLE_CACHE) > 4096:   # bound: ~1 MB per entry
+            _WORLD_TABLE_CACHE.clear()
+        _WORLD_TABLE_CACHE[key] = hit
+    return hit
+
+
 def item_to_mesh(item: dict, faces: np.ndarray, verts_cano: np.ndarray) -> MeshBundle:
     (table, face_perm, tile_table, faces_dev, cano_dev,
      cano_tables) = _spatial_tables_for(faces, verts_cano)
+    # A/B knobs, both MEASURED NEGATIVE and default OFF (v5e 2026-08-20,
+    # bench.py back-to-back): hoisting the canonical tables out of the step
+    # graph cost exact 103.0k -> 98.5k rays/s and gated 182.0k -> 179.9k —
+    # XLA already overlaps the in-graph derivation to ~free, and feeding
+    # the tables as jit inputs perturbs its schedule/layout for the worse.
+    # Kept behind env knobs as the recorded A/B (bench/r4/NOTES.md).
+    import os
+
+    if os.environ.get("DSNERF_CANO_TABLES", "0") == "0":
+        cano_tables = None
+    world_tables = None
+    if os.environ.get("DSNERF_WORLD_TABLES", "0") == "1":
+        world_tables = _world_tables_for(
+            np.asarray(item["xyz"]),
+            np.asarray(faces, np.int64),
+            _mesh_cache_key(faces, verts_cano),
+        )
     return MeshBundle(
         faces=faces_dev,
         verts_world=jnp.asarray(item["xyz"], jnp.float32),
@@ -146,6 +190,7 @@ def item_to_mesh(item: dict, faces: np.ndarray, verts_cano: np.ndarray) -> MeshB
         face_perm=face_perm,
         tile_table=tile_table,
         cano_tables=cano_tables,
+        world_tables=world_tables,
     )
 
 

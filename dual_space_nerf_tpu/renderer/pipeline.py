@@ -81,6 +81,10 @@ class MeshBundle(NamedTuple):
     # CANONICAL mesh (static across a whole run) — hoists the per-step
     # table derivation out of the graph; see pruned_search_listed(tables=).
     cano_tables: tuple | None = None
+    # same for the POSED mesh: static per frame, so the host workers build
+    # it once per frame (data/batching.py, numpy) instead of the graph
+    # re-deriving it every step.
+    world_tables: tuple | None = None
 
 
 class RayBatch(NamedTuple):
@@ -681,6 +685,7 @@ def _render_with_z(
             fidx_w = pruned_search_listed(
                 pts_w_flat, centroids_w, mesh.tile_table,
                 interpret=pruned_interp, return_slots=True,
+                tables=mesh.world_tables,
             )
         else:
             fidx_w = pruned_search_presorted(
