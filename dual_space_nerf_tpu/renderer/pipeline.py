@@ -269,6 +269,23 @@ class RenderSettings:
         )
 
 
+def _safe_unit(v: jnp.ndarray) -> jnp.ndarray:
+    """Gradient-safe unit vectors: v / sqrt(sum v^2 + 1e-24).
+
+    Numerically identical in f32 to the old `v / maximum(norm(v), 1e-12)`
+    for healthy magnitudes (1e-24 sits far below one ulp of any real
+    sum-of-squares; at ||v|| << 1e-12 both denominators are ~1e-12), but
+    the BACKWARD at v == 0 is 0 instead of NaN. The max-guard formulation
+    still evaluates d(norm)/dv = v/||v|| = 0/0 on the dead branch and
+    0 * NaN poisons the whole step's gradients — observed in vivo: the r4
+    quality probe trained healthily for 162 epochs (PSNR 27.2) and went
+    permanently NaN the step a converged empty-space sample's density
+    gradient underflowed to exactly zero in f32 (the normal-transport
+    input `end_w - start_w` then vanishes).
+    """
+    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-24)
+
+
 # ---------------------------------------------------------------------------
 # Warp: world space -> canonical space
 # ---------------------------------------------------------------------------
@@ -313,9 +330,7 @@ def warp_world_to_canonical(
         uv2, h2 = project_point2mesh(pts_w + ray_d_w, tris_w)
         end_c = barycentric_map(uv2, h2, tris_c)
         d = end_c - pts_c
-        ray_d_c = d / jnp.maximum(
-            jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12
-        )
+        ray_d_c = _safe_unit(d)
     return pts_c, tmask, fidx, ray_d_c
 
 
@@ -347,7 +362,7 @@ def normal_canonical_to_world(
     end_w = barycentric_map(uv2, h2, tris_w)
 
     n = end_w - start_w
-    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    return _safe_unit(n)
 
 
 def _faces_table(mesh: MeshBundle, slot_perm=None) -> jnp.ndarray:
@@ -470,10 +485,10 @@ def _point_network(
     start_w = barycentric_map(uv, h, tris_w2)
     uv2, h2 = project_point2mesh(pts_c + normal_local, tris_c2)
     end_w = barycentric_map(uv2, h2, tris_w2)
-    nrm = end_w - start_w
-    normal_w = nrm / jnp.maximum(
-        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12
-    )
+    # _safe_unit, NOT max(norm, eps): this normalize sits under the
+    # SECOND-ORDER vjp, and a converged field's empty-space samples hit
+    # nrm == 0 exactly (see _safe_unit) — one such sample NaNs the step
+    normal_w = _safe_unit(end_w - start_w)
 
     color = model.apply(
         params, normal_w, pts_w, dir_w, essence, method="lighting"
@@ -1244,10 +1259,7 @@ def _full_shading_fused(
     start_w = barycentric_map(uv, h, tw2)
     uv2, h2 = project_point2mesh(pc_flat + normal_local, tc2)
     end_w = barycentric_map(uv2, h2, tw2)
-    nrm = end_w - start_w
-    normal_w = nrm / jnp.maximum(
-        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12
-    )
+    normal_w = _safe_unit(end_w - start_w)   # grad-safe at nrm == 0
 
     # light-space manipulation + LightingMLP (`spacenet.py:254-265`)
     xy = (

@@ -161,7 +161,14 @@ def do_train(
             psnr_monitor.append(float(pending[0]["psnr"]))
 
         periodic.step_by_epoch(epoch, state)
-        if val_fn is not None and epoch % 40 == 0 and epoch != 0:
+        # reference cadence: full-val renders every 40 epochs
+        # (`trainer.py:121-122`). DSNERF_VAL_PERIOD overrides for harness
+        # runs (0 disables — e.g. the quality-A/B fleet, which evaluates
+        # final checkpoints separately and would otherwise re-render the
+        # whole val set dozens of times per training run).
+        val_period = int(os.environ.get("DSNERF_VAL_PERIOD", "40"))
+        if (val_fn is not None and val_period > 0
+                and epoch % val_period == 0 and epoch != 0):
             res = val_fn(state, epoch)
             for key, v in res.items():
                 writer.add_scalar(f"Val/{key}", v, epoch)

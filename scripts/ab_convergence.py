@@ -90,8 +90,24 @@ def run_one(name: str, frag: str, seed: int, epochs: int, human: str,
             ray_chunk=scene["ray_chunk"], warmup=scene["warmup"],
             workers=scene["workers"],
         ))
-    env = dict(os.environ, DSNERF_SEED=str(seed))
-    if not skip_train:
+    # no in-train val renders: the fleet evaluates final checkpoints
+    # itself, and a 48-image 512^2 val every 40 epochs costs ~1-2 min per
+    # occurrence on the tunnel
+    env = dict(os.environ, DSNERF_SEED=str(seed), DSNERF_VAL_PERIOD="0")
+    def _has_final_ckpt() -> bool:
+        tag = os.path.join(ROOT, "EXP", exp, "last_checkpoint")
+        if not os.path.exists(tag):
+            return False
+        with open(tag, encoding="utf-8") as fh:
+            name = fh.read().strip()
+        digits = name.split(".")[0].split("_")[-1]
+        # the loop numbers epochs 0..MAX-1, so the final save is MAX-1
+        return digits.isdigit() and int(digits) >= epochs - 1
+
+    if skip_train is True or (skip_train == "existing" and _has_final_ckpt()):
+        print(f"=== {exp}: skipping train (skip_train={skip_train!r}) ===",
+              flush=True)
+    else:
         print(f"=== training {exp} (seed {seed}) ===", flush=True)
         subprocess.run(
             [sys.executable, "main.py", "-c", cfg_path, "--exp", exp],
@@ -101,7 +117,10 @@ def run_one(name: str, frag: str, seed: int, epochs: int, human: str,
     eval_code = f"""
 import sys; sys.path.insert(0, {ROOT!r})
 import json
-from dual_space_nerf_tpu.cli.common import load_cfg, load_render_state, load_faces
+from dual_space_nerf_tpu.cli.common import (
+    enable_compilation_cache, load_cfg, load_render_state, load_faces,
+)
+enable_compilation_cache()
 from dual_space_nerf_tpu.cli.validate import val
 from dual_space_nerf_tpu.data import select_dataset
 from dual_space_nerf_tpu.evaluation import ImageRenderer
@@ -151,9 +170,10 @@ def main():
         "--variant", nargs=2, action="append", metavar=("NAME", "YAML"),
         required=True,
     )
-    ap.add_argument("--skip_train", action="store_true",
+    ap.add_argument("--skip_train", nargs="?", const=True, default=False,
                     help="evaluate existing EXP/ab_<name>[_s<seed>] "
-                         "checkpoints only")
+                         "checkpoints only; --skip_train existing trains "
+                         "only the runs whose final checkpoint is missing")
     # scene-scale knobs for the >=28 dB quality gate (VERDICT r3 #5):
     # the default 2x3x96 scene gates the smoke tier; --size 512 --views 6
     # --frames 8 --nrays 5500 is the high-fidelity regime the real ZJU

@@ -100,6 +100,33 @@ def test_train_step_reduces_loss(setup):
     assert losses[-1] < losses[0] * 0.9, losses
 
 
+def test_zero_density_gradient_keeps_grads_finite(setup):
+    """Regression: a sample whose density gradient is EXACTLY zero in f32
+    makes the normal-transport input (end_w - start_w) vanish; the old
+    `nrm / maximum(norm(nrm), 1e-12)` then emitted 0 * (0/0) = NaN in the
+    backward pass and one such sample poisoned the entire step's params
+    (observed in vivo: r4 quality probe, healthy PSNR 27.2 at epoch 162,
+    permanently NaN from 163). Zeroed params give a constant density field
+    -> EVERY sample hits the zero-normal case -> the step must stay
+    finite."""
+    scene, mesh, model, tx, state = setup
+    sett = RenderSettings(
+        n_samples=S, sample_mode="GG", mlp_chunk=R * S, knn_impl="xla"
+    )
+    step = make_train_step(model, tx, sett)
+    batch = _train_batch(scene)
+    # fresh state: the module fixture's state buffers are donated (hence
+    # deleted) by earlier tests' step calls
+    fresh = create_train_state(model, tx, jax.random.key(0))
+    zero_state = fresh._replace(
+        params=jax.tree.map(jnp.zeros_like, fresh.params)
+    )
+    new_state, metrics = step(zero_state, batch, mesh, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    leaves = jax.tree.leaves(new_state.params)
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves)
+
+
 def test_train_step_sharded_over_ray_mesh(setup):
     """Data-parallel over rays on the 8-virtual-CPU-device mesh."""
     scene, mesh, model, tx, _ = setup
