@@ -29,6 +29,8 @@ TPU design choices:
 from __future__ import annotations
 
 import dataclasses
+import logging
+import os
 from typing import NamedTuple
 
 import jax
@@ -522,7 +524,21 @@ def _chunked_points(fn, n_points: int, chunk: int, args: tuple):
     stacked = jax.tree.map(
         lambda x: pad(x).reshape(n_chunks, chunk, *x.shape[1:]), args
     )
-    out = jax.lax.map(fn, stacked)
+    # DSNERF_CHUNK_UNROLL > 1: run the chunk loop as lax.scan(unroll=k) so
+    # XLA sees k chunk bodies per iteration and can software-pipeline the
+    # staging copies of chunk i+1 under chunk i's compute (double
+    # buffering). A/B knob for the exact path's chunked-network-loop
+    # overhead (bench/r4/NOTES.md); default 1 == the plain lax.map.
+    unroll = int(os.environ.get("DSNERF_CHUNK_UNROLL", "1"))
+    if unroll > 1:
+        logging.getLogger(__name__).info(
+            "DSNERF_CHUNK_UNROLL=%d: chunk loop via lax.scan(unroll)", unroll
+        )
+        _, out = jax.lax.scan(
+            lambda carry, x: (carry, fn(x)), (), stacked, unroll=unroll
+        )
+    else:
+        out = jax.lax.map(fn, stacked)
     return jax.tree.map(
         lambda x: x.reshape(n_chunks * chunk, *x.shape[2:])[:n_points], out
     )

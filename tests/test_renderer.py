@@ -448,3 +448,23 @@ def test_full_shading_faceid_dataflow_matches_materialized(
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
         )
+
+
+def test_chunk_unroll_knob_bitwise_matches_map(monkeypatch):
+    """DSNERF_CHUNK_UNROLL (the r4 double-buffering A/B) must be a pure
+    schedule change: lax.scan(unroll=k) over chunks returns bit-identical
+    results to the default lax.map, including the edge-padded tail chunk."""
+    from dual_space_nerf_tpu.renderer.pipeline import _chunked_points
+
+    def fn(args):
+        x, y = args
+        return (x * 2.0 + jnp.sin(y), x - y)
+
+    n = 1000  # 8 chunks of 128 with a padded tail
+    x = jnp.arange(n, dtype=jnp.float32)
+    y = x * 0.1
+    ref = _chunked_points(fn, n, 128, (x, y))
+    monkeypatch.setenv("DSNERF_CHUNK_UNROLL", "2")
+    out = _chunked_points(fn, n, 128, (x, y))
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
