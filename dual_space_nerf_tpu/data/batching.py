@@ -141,11 +141,21 @@ def _spatial_tables_for(faces: np.ndarray, verts_cano: np.ndarray):
 _WORLD_TABLE_CACHE: dict[tuple, tuple] = {}
 
 
+#: entries hold device (HBM) arrays ~1 MB each; bound the cache well below
+#: HBM scale and evict oldest-first (dict preserves insertion order)
+_WORLD_TABLE_CACHE_MAX = 1024
+
+
 def _world_tables_for(xyz: np.ndarray, faces_np: np.ndarray, mesh_key):
+    import hashlib
+
     from ..ops.pruned_knn import listed_tables_np
 
     xyz32 = np.ascontiguousarray(xyz, np.float32)
-    key = (mesh_key, hash(xyz32.tobytes()))
+    # full digest + length: a truncated Python hash() collision would
+    # silently serve another frame's tables to an exact search
+    digest = hashlib.sha1(xyz32.tobytes()).hexdigest()
+    key = (mesh_key, xyz32.nbytes, digest)
     hit = _WORLD_TABLE_CACHE.get(key)
     if hit is None:
         tile_table = np.asarray(_CLUSTER_CACHE[mesh_key][2])
@@ -156,8 +166,8 @@ def _world_tables_for(xyz: np.ndarray, faces_np: np.ndarray, mesh_key):
         hit = tuple(
             jnp.asarray(x) for x in listed_tables_np(cents, tile_table)
         )
-        if len(_WORLD_TABLE_CACHE) > 4096:   # bound: ~1 MB per entry
-            _WORLD_TABLE_CACHE.clear()
+        while len(_WORLD_TABLE_CACHE) >= _WORLD_TABLE_CACHE_MAX:
+            _WORLD_TABLE_CACHE.pop(next(iter(_WORLD_TABLE_CACHE)))
         _WORLD_TABLE_CACHE[key] = hit
     return hit
 

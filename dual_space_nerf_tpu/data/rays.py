@@ -161,10 +161,17 @@ class SamplePools:
         self.coord_bound = coord_bound
 
 
-def build_sample_pools(H, W, K, R, T, bounds, mask=None, face_mask=None):
-    """Precompute `SamplePools` for one frame (see class docstring)."""
+def build_sample_pools(H, W, K, R, T, bounds, mask=None, face_mask=None,
+                       coords=True):
+    """Precompute `SamplePools` for one frame (see class docstring).
+
+    coords=False skips the argwhere coordinate pools (only `bound_mask` is
+    populated) — the full-image nrays<=0 eval path never reads them.
+    """
     pose = np.concatenate([R, T], axis=1)
     bound_mask = get_bound_2d_mask(bounds, K, pose, H, W)
+    if not coords:
+        return SamplePools(bound_mask, None, None, None)
     coord_body = (
         np.argwhere(mask != 0).astype(np.int32) if mask is not None else None
     )
@@ -199,7 +206,8 @@ def sample_rays(
     H, W = img.shape[:2]
     if pools is None:
         pools = build_sample_pools(
-            H, W, K, R, T, bounds, mask=mask, face_mask=face_mask
+            H, W, K, R, T, bounds, mask=mask, face_mask=face_mask,
+            coords=nrays > 0,
         )
     bound_mask = pools.bound_mask
     if nrays <= 0:

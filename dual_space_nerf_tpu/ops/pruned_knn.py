@@ -426,9 +426,15 @@ def listed_tables(centroids: jnp.ndarray, tile_table: jnp.ndarray):
 def listed_tables_np(centroids: np.ndarray, tile_table: np.ndarray):
     """Pure-numpy `listed_tables(...)[:4]` for HOST-side one-time builds.
 
-    Bit-identical to the jnp version (tests/test_pruned_knn.py pins it):
-    every op here is exact IEEE f32 (min/max/mul/add/compare, 3-element
-    sums, first-occurrence argmin) with the same associativity, so the
+    Bit-identity to the jnp derivation is pinned on the CPU/interpret
+    backend (tests/test_pruned_knn.py): every op here is exact IEEE f32
+    (min/max/mul/add/compare, 3-element sums, first-occurrence argmin)
+    with the same associativity. On a real TPU, XLA's reduce/fusion
+    ordering for the jnp sums/min/max is NOT covered by that test, so
+    treat the on-device claim as unverified (benign in effect: the tables
+    only steer the visit plan of an EXACT search — a mismatched table can
+    cost speed, never correctness — and the DSNERF_CANO_TABLES knob that
+    consumes this defaults OFF, a measured-negative A/B). Purpose: the
     hoisted canonical tables (data/batching.py) match what the step graph
     would have derived — without paying a jit compile (~60 s cold on the
     remote-compile relay) or ~40 eager op-by-op compiles (~18 s) at

@@ -171,6 +171,7 @@ def main():
         required=True,
     )
     ap.add_argument("--skip_train", nargs="?", const=True, default=False,
+                    choices=[True, False, "existing"],
                     help="evaluate existing EXP/ab_<name>[_s<seed>] "
                          "checkpoints only; --skip_train existing trains "
                          "only the runs whose final checkpoint is missing")

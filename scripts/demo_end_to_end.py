@@ -41,24 +41,41 @@ VAL_VIEW_DIR = "Camera (5)"  # a held-out camera the val/test splits find
 NOVEL_POSE_VIEW_DIR = "Camera (10)"  # novel_pose_vis hardcodes vis_views=[9]
 
 
-def _cam(ang: float):
+def _cam(ang: float, h: int = None, w: int = None):
     from dual_space_nerf_tpu.data.synthetic import look_at_camera
 
+    h = H if h is None else h
+    w = W if w is None else w
     eye = np.array([2.6 * np.cos(ang), 2.6 * np.sin(ang), 0.35])
-    return look_at_camera(eye, np.zeros(3), H, W, focal=110.0)
+    # focal tuned so the capsule fills the frame at 96^2; scales with size
+    return look_at_camera(eye, np.zeros(3), h, w, focal=110.0 * h / 96.0)
 
 
-def synthesize_tree(data_dir: str) -> None:
-    """CoreView_313-style capture of the SMPL-sized capsule body."""
+def synthesize_tree(
+    data_dir: str, h: int = None, w: int = None, n_frames: int = None,
+    train_views=None, extra_view_dirs=None,
+):
+    """CoreView_313-style capture of the SMPL-sized capsule body.
+
+    The size/view arguments default to the demo's tiny CPU-safe scene;
+    bench.py reuses this generator at ZJU scale (1024^2 raw JPEGs) for the
+    cache-cold epoch-1 loader measurement."""
     from dual_space_nerf_tpu.data.synthetic import make_scene
     from dual_space_nerf_tpu.data.synthetic_dataset import splat_image
+
+    h = H if h is None else h
+    w = W if w is None else w
+    n_frames = N_FRAMES if n_frames is None else n_frames
+    train_views = TRAIN_VIEWS if train_views is None else train_views
+    if extra_view_dirs is None:
+        extra_view_dirs = (VAL_VIEW_DIR, NOVEL_POSE_VIEW_DIR)
 
     root = os.path.join(data_dir, "CoreView_313")
     os.makedirs(root, exist_ok=True)
 
     # 21 physical cameras -> annots names Camera (1..19), (22), (23)
     n_cams = 21
-    rings = [_cam(2 * np.pi * c / n_cams) for c in range(n_cams)]
+    rings = [_cam(2 * np.pi * c / n_cams, h, w) for c in range(n_cams)]
     cams = {
         "K": [k for k, _, _ in rings],
         "R": [r for _, r, _ in rings],
@@ -75,9 +92,9 @@ def synthesize_tree(data_dir: str) -> None:
     os.makedirs(os.path.join(root, "new_params"), exist_ok=True)
     os.makedirs(os.path.join(root, "new_vertices"), exist_ok=True)
     scenes = {}
-    for f in range(1, N_FRAMES + 1):
+    for f in range(1, n_frames + 1):
         # a slightly different bend per frame = per-frame SMPL fits
-        scene = make_scene(bend=0.25 + 0.04 * f, h=H, w=W)
+        scene = make_scene(bend=0.25 + 0.04 * f, h=h, w=w)
         assert np.allclose(scene.verts_cano, verts_cano), (
             "tool/X_smpl_vertices.npy must match make_scene()'s canonical "
             "capsule — regenerate the sample if the mesh generator changed"
@@ -97,16 +114,13 @@ def synthesize_tree(data_dir: str) -> None:
     np.save(os.path.join(root, "X_smpl_vertices.npy"), verts_cano[None])
 
     # images + masks only for the camera dirs the demo splits touch
-    dirs = (
-        [f"Camera ({v + 1})" for v in TRAIN_VIEWS]
-        + [VAL_VIEW_DIR, NOVEL_POSE_VIEW_DIR]
-    )
+    dirs = [f"Camera ({v + 1})" for v in train_views] + list(extra_view_dirs)
     for cam_dir in dirs:
         cam_idx = int(cam_dir.split("(")[1].rstrip(")")) - 1
         K, R, T = rings[cam_idx]
-        for f in range(1, N_FRAMES + 1):
+        for f in range(1, n_frames + 1):
             img, mask = splat_image(
-                scenes[f]._replace(K=K, R=R, T=T.reshape(3, 1)), H, W
+                scenes[f]._replace(K=K, R=R, T=T.reshape(3, 1)), h, w
             )
             fname = f"CoreView_313_Camera_(x)_{f:04d}_2019-08-23"
             ipath = os.path.join(root, cam_dir, f"{fname}.jpg")
@@ -121,7 +135,7 @@ def synthesize_tree(data_dir: str) -> None:
                              "CoreView_313_op3")
     os.makedirs(os.path.join(pose_root, "new_params"), exist_ok=True)
     os.makedirs(os.path.join(pose_root, "new_vertices"), exist_ok=True)
-    for i, f in enumerate((1, 3, 5)):
+    for i, f in enumerate(fr for fr in (1, 3, 5) if fr <= n_frames):
         np.save(
             os.path.join(pose_root, "new_params", f"{i * 4}.npy"),
             {

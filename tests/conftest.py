@@ -7,6 +7,10 @@ Multi-chip sharding paths run on virtual CPU devices
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Golden/parity tests compare eval outputs at f32 tolerances; pin the D2H
+# transport to the exact path (the f16 production default is covered by an
+# explicit pack="f16" closeness test in test_e2e_smoke.py).
+os.environ.setdefault("DSNERF_EVAL_PACK", "f32")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
