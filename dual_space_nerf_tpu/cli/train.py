@@ -56,8 +56,19 @@ def main(argv=None):
 
     enable_compilation_cache()
 
+    # Multi-host: DSNERF_NUM_PROCESSES>1 joins a jax.distributed cluster
+    # (env contract in parallel/distributed.py) and the ray mesh spans
+    # every process's devices; single-host runs are untouched.
+    from ..parallel.distributed import (
+        global_ray_mesh,
+        maybe_initialize_distributed,
+    )
+
     cfg = load_cfg(args.config)
-    mesh_devices = local_ray_mesh()
+    if maybe_initialize_distributed():
+        mesh_devices = global_ray_mesh()
+    else:
+        mesh_devices = local_ray_mesh()
     if mesh_devices is not None:
         cfg.defrost()
         cfg.SOLVER.TRAIN_NRAYS = pad_rays_for_mesh(

@@ -52,8 +52,17 @@ def _get_item(i: int):
 
 class PrefetchLoader:
     """Iterates a dataset for one epoch with `num_workers` threads and a
-    `prefetch`-deep queue. Order is nondeterministic under shuffle (matches
-    torch DataLoader(shuffle=True) semantics)."""
+    `prefetch`-deep queue. Yield order is nondeterministic under the default
+    `ordered=False` (matches torch DataLoader(shuffle=True) semantics:
+    whichever worker finishes first yields first).
+
+    `ordered=True` re-assembles items in submission order (the shuffled
+    index order) regardless of worker completion order — required by the
+    multi-host path (training/loop.py), where every process must consume
+    the IDENTICAL batch stream. Each `__iter__` also advances an epoch
+    counter and forwards it via `dataset.set_epoch(epoch)` when the dataset
+    has one, so per-(epoch, item) rng schemes stay in lockstep across
+    processes."""
 
     def __init__(
         self,
@@ -64,6 +73,7 @@ class PrefetchLoader:
         seed: int | None = None,
         transform: Callable | None = None,
         backend: str | None = None,
+        ordered: bool = False,
     ):
         self.dataset = dataset
         self.shuffle = shuffle
@@ -71,6 +81,8 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self.transform = transform
+        self.ordered = ordered
+        self._epoch = 0
         # env wins over config/arg so in-flight A/Bs work without edits
         # (same convention as the DSNERF_KNN_* kernel knobs)
         backend = (
@@ -104,10 +116,11 @@ class PrefetchLoader:
             self.num_workers, initializer=_init_worker,
             initargs=(self.dataset,),
         )
+        # imap preserves submission order; imap_unordered trades order for
+        # slightly better worker utilization (the default)
+        imap = pool.imap if self.ordered else pool.imap_unordered
         try:
-            for item in pool.imap_unordered(
-                _get_item, [int(i) for i in order]
-            ):
+            for item in imap(_get_item, [int(i) for i in order]):
                 if self.transform is not None:
                     item = self.transform(item)
                 yield item
@@ -116,6 +129,9 @@ class PrefetchLoader:
             pool.join()
 
     def __iter__(self) -> Iterator:
+        self._epoch += 1
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
@@ -124,8 +140,8 @@ class PrefetchLoader:
             return
 
         idx_q: queue.Queue = queue.Queue()
-        for i in order:
-            idx_q.put(int(i))
+        for seq, i in enumerate(order):
+            idx_q.put((seq, int(i)))
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         n_alive = threading.Semaphore(0)
         stop = threading.Event()
@@ -136,7 +152,7 @@ class PrefetchLoader:
             try:
                 while not stop.is_set():
                     try:
-                        i = idx_q.get_nowait()
+                        seq, i = idx_q.get_nowait()
                     except queue.Empty:
                         return
                     try:
@@ -153,7 +169,7 @@ class PrefetchLoader:
                         return
                     while not stop.is_set():
                         try:
-                            out_q.put(item, timeout=0.1)
+                            out_q.put((seq, item), timeout=0.1)
                             break
                         except queue.Full:
                             continue
@@ -186,16 +202,34 @@ class PrefetchLoader:
         threading.Thread(target=closer, daemon=True).start()
 
         try:
+            # ordered mode: re-assemble by submission sequence. The buffer
+            # is bounded by prefetch + num_workers items (workers block on
+            # the full out_q while the head-of-line item is in flight).
+            buffered: dict = {}
+            next_seq = 0
             while True:
-                item = out_q.get()
-                if item is _SENTINEL:
+                got = out_q.get()
+                if got is _SENTINEL:
                     if error[0] is not None:
                         i, exc = error[0]
                         raise RuntimeError(
                             f"prefetch worker failed on dataset[{i}]"
                         ) from exc
+                    # drain any buffered tail (possible only if the
+                    # sentinel raced ahead, which the closer prevents; be
+                    # safe anyway)
+                    while self.ordered and next_seq in buffered:
+                        yield buffered.pop(next_seq)
+                        next_seq += 1
                     return
-                yield item
+                seq, item = got
+                if not self.ordered:
+                    yield item
+                    continue
+                buffered[seq] = item
+                while next_seq in buffered:
+                    yield buffered.pop(next_seq)
+                    next_seq += 1
         finally:
             # reached on epoch end, break, or generator GC: release workers
             # and WAIT for them — a worker mid-__getitem__ must not outlive

@@ -59,6 +59,11 @@ class SyntheticDataset:
         self.h, self.w = h, w
         self.essence = essence
         self.rng = np.random.default_rng(seed)
+        # per-(epoch, item) rng for multi-host lockstep (see data/zju.py:
+        # MocapBase.deterministic_items — same contract)
+        self.item_seed = 0 if seed is None else int(seed)
+        self.deterministic_items = False
+        self._epoch = 0
         self.items = []
         for f in range(n_frames):
             for v in range(n_views):
@@ -85,6 +90,16 @@ class SyntheticDataset:
 
     def __len__(self):
         return len(self.items)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def _item_rng(self, i: int):
+        if self.deterministic_items:
+            return np.random.default_rng(
+                [self.item_seed, self._epoch, int(i)]
+            )
+        return self.rng
 
     def _rendered_frame(self, idx):
         if self.cache_images:
@@ -114,8 +129,8 @@ class SyntheticDataset:
                 self._pools_cache[idx] = pools
         rgb, ray_o, ray_d, near, far, coord, mask_at_box, bound_mask = sample_rays(
             img, scene.K, scene.R, scene.T, scene.bounds,
-            mask=mask, face_mask=None, nrays=self.nrays, rng=self.rng,
-            pools=pools,
+            mask=mask, face_mask=None, nrays=self.nrays,
+            rng=self._item_rng(idx), pools=pools,
         )
         occupancy = mask[coord[:, 0], coord[:, 1]]
         return {

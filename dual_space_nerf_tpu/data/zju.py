@@ -64,6 +64,14 @@ class MocapBase:
         # (`main.py:22-26`) so Mocap_infer's random frame codes — and hence
         # test.py/validate.py metrics — are reproducible across runs.
         self.rng = np.random.default_rng(seed)
+        # Multi-host mode (training/loop.py): per-(epoch, item) rng makes
+        # ray draws a pure function of (seed, epoch, index) so every
+        # process of a jax.distributed cluster samples the IDENTICAL rays
+        # regardless of worker interleaving. Default off: single-host draws
+        # keep the shared-rng semantics existing tests pin.
+        self.item_seed = 0 if seed is None else int(seed)
+        self.deterministic_items = False
+        self._epoch = 0
         # Epoch-persistent caches: decoded frames (post-undistort,
         # fg-multiplied, resized uint8 image + masks; ~1 MB per image at
         # ratio 0.5 -> ~250 MB for a ZJU-313 train split) and per-frame SMPL
@@ -87,6 +95,22 @@ class MocapBase:
         )
 
     # -- helpers -------------------------------------------------------------
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the deterministic-items epoch (called by PrefetchLoader
+        at each `__iter__`; no effect unless `deterministic_items`)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, i: int):
+        """The rng for item i's ray draws (see `deterministic_items`).
+        getattr-defensive: novel-pose subclasses bypass this __init__."""
+        if getattr(self, "deterministic_items", False):
+            return np.random.default_rng([
+                getattr(self, "item_seed", 0),
+                getattr(self, "_epoch", 0),
+                int(i),
+            ])
+        return self.rng
+
     def _cam_dir_name(self, view: int) -> str:
         if self.human in _ANNOT_SUBJECTS:
             return f"Camera ({view + 1})"
@@ -242,7 +266,7 @@ class MocapBase:
         rgb, ray_o, ray_d, near, far, coord, mask_at_box, bound_mask = sample_rays(
             img, K, R, T, world_bounds,
             mask=msk_cihp2d, face_mask=msk_cihp2d, nrays=self.nrays,
-            rng=self.rng, pools=pools,
+            rng=self._item_rng(idx), pools=pools,
         )
         if msk_fg.ndim == 2:
             msk_fg = msk_fg[..., None]

@@ -69,6 +69,22 @@ def do_train(
     state = create_train_state(model, tx, jax.random.key(seed))
     nrays = cfg.SOLVER.TRAIN_NRAYS
 
+    # Multi-host: when the ray mesh spans >1 process (jax.distributed
+    # cluster, parallel/distributed.py), every process runs this same loop
+    # SPMD. Each host's deterministic loader computes the identical batch
+    # stream (same dataset + seed); globalize_tree hands the runtime only
+    # the shards this process's devices own, so each host feeds 1/P of
+    # every batch over its own PCI while XLA's grad psum rides ICI/DCN.
+    # Checkpoints/TB/logs write from process 0 only.
+    from ..parallel.distributed import (
+        globalize_tree,
+        is_multiprocess,
+        replicated_shardings,
+    )
+
+    multiproc = is_multiprocess(mesh_devices)
+    is_main = (not multiproc) or jax.process_index() == 0
+
     # resolve the effective epoch count BEFORE building the periodic
     # checkpointer: its final-epoch save clause must fire at the epoch the
     # run actually ends on, not cfg.SOLVER.MAX_EPOCHS (a `--max_epochs 100`
@@ -81,6 +97,12 @@ def do_train(
     periodic = PeriodicCheckpointer(
         checkpointer, cfg.SOLVER.CHECKPOINT_PERIOD, max_epochs
     )
+    if multiproc:
+        # state leaves (host/single-device after init or resume) -> global
+        # replicated jax.Arrays over the cross-process mesh
+        state = globalize_tree(
+            state, replicated_shardings(state, mesh_devices)
+        )
 
     step_fn = make_train_step(
         model, tx, settings,
@@ -91,6 +113,18 @@ def do_train(
     verts_cano = train_set.canonical_vertex
     log_period = cfg.SOLVER.LOG_PERIOD
     rng = jax.random.key(seed)
+    if multiproc:
+        # key arrays have an extended dtype globalize_tree can't np.asarray;
+        # produce the replicated global key with an SPMD jit instead
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rng = jax.jit(
+            lambda: jax.random.key(seed),
+            out_shardings=NamedSharding(mesh_devices, P()),
+        )()
+        from .state import train_batch_shardings
+
+        batch_shardings = train_batch_shardings(mesh_devices)
 
     # batch conversion (pixel sort, padding, device puts) runs inside the
     # prefetch workers so host prep overlaps the device step
@@ -100,11 +134,29 @@ def do_train(
             item_to_mesh(item, faces, verts_cano),
         )
 
+    # Deterministic data stream: required for multi-host (every process
+    # must sample the IDENTICAL rays), opt-in for single-host repro runs
+    # (DSNERF_DETERMINISTIC_DATA=1 — e.g. the single-process reference leg
+    # of tests/test_multiprocess.py). Ordered yielding + per-(epoch, item)
+    # rng make the loader a pure function of (dataset, seed, epoch)
+    # regardless of worker interleaving.
+    det_data = multiproc or (
+        os.environ.get("DSNERF_DETERMINISTIC_DATA", "0") == "1"
+    )
+    if det_data:
+        if not hasattr(train_set, "deterministic_items"):
+            raise ValueError(
+                "deterministic data streaming needs a dataset with "
+                "deterministic_items support (see data/zju.py::MocapBase)"
+            )
+        train_set.deterministic_items = True
+
     loader = PrefetchLoader(
         train_set, shuffle=True,
         num_workers=cfg.DATALOADER.NUM_WORKERS, seed=seed,
         transform=to_device,
         backend=getattr(cfg.DATALOADER, "BACKEND", None),
+        ordered=det_data,
     )
 
     global_step = int(state.step)
@@ -121,6 +173,11 @@ def do_train(
         pending = None  # (metrics, step) — read one step late to overlap
 
         for batch_idx, (batch, geom) in enumerate(loader):
+            if multiproc:
+                batch = globalize_tree(batch, batch_shardings)
+                geom = globalize_tree(
+                    geom, replicated_shardings(geom, mesh_devices)
+                )
             state, metrics = step_fn(state, batch, geom, rng)
             global_step += 1
 
@@ -128,7 +185,7 @@ def do_train(
                 m, gstep, bidx = pending
                 psnr_v = float(m["psnr"])
                 psnr_monitor.append(psnr_v)
-                if bidx % 50 == 0:
+                if is_main and bidx % 50 == 0:
                     for key, v in m.items():
                         # per-term losses only ("loss_rgb", "fine_loss_rgb",
                         # ...); the total goes out as Loss/loss_sum below
@@ -149,25 +206,27 @@ def do_train(
                     steps = bidx - last_log_bidx
                     last_log_bidx = bidx
                     rays_per_s = steps * nrays / max(dt, 1e-9)
-                    logger.info(
-                        "Epoch[%d] Iteration[%d/%d] Loss: %.3e Psnr: %.2f "
-                        "Lr: %.2e Speed: %.1f[rays/s]",
-                        epoch, bidx, len(loader), float(m["loss"]), psnr_v,
-                        float(lr_fn(gstep)), rays_per_s,
-                    )
+                    if is_main:
+                        logger.info(
+                            "Epoch[%d] Iteration[%d/%d] Loss: %.3e "
+                            "Psnr: %.2f Lr: %.2e Speed: %.1f[rays/s]",
+                            epoch, bidx, len(loader), float(m["loss"]),
+                            psnr_v, float(lr_fn(gstep)), rays_per_s,
+                        )
             pending = (metrics, global_step, batch_idx)
 
         if pending is not None:
             psnr_monitor.append(float(pending[0]["psnr"]))
 
-        periodic.step_by_epoch(epoch, state)
+        if is_main:
+            periodic.step_by_epoch(epoch, state)
         # reference cadence: full-val renders every 40 epochs
         # (`trainer.py:121-122`). DSNERF_VAL_PERIOD overrides for harness
         # runs (0 disables — e.g. the quality-A/B fleet, which evaluates
         # final checkpoints separately and would otherwise re-render the
         # whole val set dozens of times per training run).
         val_period = int(os.environ.get("DSNERF_VAL_PERIOD", "40"))
-        if (val_fn is not None and val_period > 0
+        if (is_main and val_fn is not None and val_period > 0
                 and epoch % val_period == 0 and epoch != 0):
             res = val_fn(state, epoch)
             for key, v in res.items():

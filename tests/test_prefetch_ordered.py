@@ -1,0 +1,123 @@
+"""Ordered prefetch + deterministic per-(epoch, item) rng — the host-side
+halves of the multi-host contract (training/loop.py multiproc path).
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from dual_space_nerf_tpu.data.prefetch import PrefetchLoader
+
+
+class _SlowFirst:
+    """dataset[0] is slow: an unordered loader would yield it last."""
+
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        if i == 0:
+            time.sleep(0.3)
+        return i
+
+
+def test_ordered_loader_yields_submission_order():
+    loader = PrefetchLoader(
+        _SlowFirst(), shuffle=False, num_workers=4, ordered=True,
+    )
+    for _ in range(2):  # second epoch re-uses the machinery
+        assert list(loader) == list(range(8))
+
+
+def test_unordered_loader_completes_out_of_order():
+    """Sanity that the ordered flag is doing something: with the default
+    unordered mode the slow head item lands late."""
+    loader = PrefetchLoader(
+        _SlowFirst(), shuffle=False, num_workers=4, ordered=False,
+    )
+    got = list(loader)
+    assert sorted(got) == list(range(8))
+    assert got.index(0) > 0  # 0 took 0.3 s; others finish first
+
+
+def test_ordered_loader_shuffle_deterministic_across_instances():
+    """Two loaders with the same seed yield the same shuffled order —
+    what lets every process of a cluster walk the same item sequence."""
+    a = PrefetchLoader(_SlowFirst(), shuffle=True, num_workers=3,
+                       seed=5, ordered=True)
+    b = PrefetchLoader(_SlowFirst(), shuffle=True, num_workers=1,
+                       seed=5, ordered=True)
+    assert list(a) == list(b)
+
+
+def test_ordered_loader_propagates_worker_error():
+    class _Boom:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise ValueError("corrupt item")
+            return i
+
+    loader = PrefetchLoader(_Boom(), shuffle=False, num_workers=2,
+                            ordered=True)
+    with pytest.raises(RuntimeError, match="dataset\\[2\\]"):
+        list(loader)
+
+
+def test_deterministic_items_rays_independent_of_draw_order():
+    """With deterministic_items, an item's ray draw is a pure function of
+    (seed, epoch, index): reading items in any order, from any instance,
+    gives bit-identical rays — unlike the default shared-rng mode."""
+    from dual_space_nerf_tpu.data import SyntheticDataset
+
+    def make(n_views=2):
+        ds = SyntheticDataset(
+            split="train", nrays=32, n_frames=1, n_views=n_views,
+            h=48, w=48, seed=3,
+        )
+        ds.deterministic_items = True
+        ds.set_epoch(2)
+        return ds
+
+    a, b = make(), make()
+    ita_0 = a[0]           # instance a reads item 0 first
+    _ = b[1]               # instance b reads item 1 first...
+    itb_0 = b[0]           # ...then item 0: draws must not shift
+    np.testing.assert_array_equal(ita_0["ray_d"], itb_0["ray_d"])
+    np.testing.assert_array_equal(ita_0["rgb"], itb_0["rgb"])
+    np.testing.assert_array_equal(ita_0["coord"], itb_0["coord"])
+
+    # different epoch -> different draws (training still varies per epoch)
+    c = make()
+    c.set_epoch(3)
+    assert not np.array_equal(ita_0["coord"], c[0]["coord"])
+
+    # default mode keeps the shared-rng semantics: order changes draws
+    d, e = (SyntheticDataset(split="train", nrays=32, n_frames=1,
+                             n_views=2, h=48, w=48, seed=3)
+            for _ in range(2))
+    _ = e[1]
+    assert not np.array_equal(d[0]["coord"], e[0]["coord"])
+
+
+def test_zju_deterministic_items_contract():
+    """MocapBase exposes the same contract (set_epoch/_item_rng); pinned
+    structurally here, end-to-end by the ZJU tree tests."""
+    from dual_space_nerf_tpu.data.zju import MocapBase
+
+    assert hasattr(MocapBase, "set_epoch")
+    assert hasattr(MocapBase, "_item_rng")
+    rng_a = MocapBase._item_rng.__get__(_FakeMocap(7, 4))(5)
+    rng_b = MocapBase._item_rng.__get__(_FakeMocap(7, 4))(5)
+    assert rng_a.integers(0, 1 << 30) == rng_b.integers(0, 1 << 30)
+
+
+class _FakeMocap:
+    def __init__(self, seed, epoch):
+        self.deterministic_items = True
+        self.item_seed = seed
+        self._epoch = epoch
+        self.rng = None
