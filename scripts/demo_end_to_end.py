@@ -275,8 +275,9 @@ def main(argv=None) -> None:
 
     print("[demo] DONE. Artifacts:")
     for pattern in ("EXP/demo/model_epoch_*.ckpt", "EXP/demo/log.txt",
-                    "myval/demo/*/*", "test_result/demo/*",
-                    "motion_transfer/demo/*", "vis_lighting/demo/*"):
+                    "EXP/demo/vis/*/img/*", "TEST/demo/*/*/rendering/*",
+                    "motion_transfer/demo/*.mp4",
+                    "vis_lighting/demo/*.mp4"):
         for p in sorted(glob.glob(pattern))[:4]:
             print("  ", p)
 
