@@ -376,3 +376,32 @@ def test_377_fixed_vis_views(zju377_tree):
     assert dirs == {"Camera_B1"}
     item = ds[2]
     assert item["frame"] == ds._frame_of(ds.all_img_path[2])
+
+
+def test_zju_deterministic_items_order_independent(zju313_tree):
+    """Multi-host contract on the REAL ZJU loader: with deterministic_items,
+    an item's ray draw is a pure function of (seed, epoch, index) — reading
+    items in different orders from different instances (as racing loader
+    workers on different hosts would) yields bit-identical batches."""
+    kw = dict(
+        human="CoreView_313", ratio=RATIO, nrays=64, begin=0, end=N_FRAMES,
+        train_views=(0,), data_dir=zju313_tree,
+    )
+
+    def make():
+        ds = Mocap(**kw)
+        ds.deterministic_items = True
+        ds.set_epoch(3)
+        return ds
+
+    a, b = make(), make()
+    item_a = a[0]             # a reads item 0 first
+    _ = b[2]                  # b reads item 2 first...
+    item_b = b[0]             # ...then 0: draws must not shift
+    for k in ("coord", "rgb", "ray_d", "near", "far", "occupancy"):
+        np.testing.assert_array_equal(item_a[k], item_b[k], err_msg=k)
+
+    # epoch advance changes the draw (per-epoch variety is kept)
+    c = make()
+    c.set_epoch(4)
+    assert not np.array_equal(item_a["coord"], c[0]["coord"])
