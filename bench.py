@@ -76,21 +76,22 @@ def main():
         n_samples=N_SAMPLES,
         sample_mode="GG",
         mlp_chunk=resolve_mlp_chunk(
-            cfg.MODEL.MLP_CHUNK, int(os.environ.get("BENCH_TOPK", "8"))
+            cfg.MODEL.MLP_CHUNK, int(os.environ.get("BENCH_TOPK", "16"))
         ),
         knn_impl=os.environ.get("BENCH_KNN", "auto"),
         # v5e's 16 GB holds the full second-order graph at this workload;
         # remat costs ~1 ms/step at the gated config (43.2 vs 44.3 ms solo)
         # but WINS ~4 ms at the exact config — see exact_settings below
         remat=False,
-        # production config: density at all 64 samples, color on the top-8
+        # production config: density at all 64 samples, color on the top-K
         # by noisy compositing weight with nearest-shaded tail completion,
         # and the canonical normal-transport face taken from the world warp
-        # instead of a second KNN. Quality-neutral (scripts/ab_convergence.py,
-        # 60-epoch A/Bs evaluated with EXACT shading on held-out views):
-        # exact 19.34 dB / K=8 19.15 / K=8+reuse 19.31 masked PSNR, SSIM
-        # 0.802 / 0.804 / 0.805.
-        shade_topk=int(os.environ.get("BENCH_TOPK", "8")),
+        # instead of a second KNN. K=16 is the r5 default: the 400-epoch
+        # 512^2 3-seed gate (bench/r5/ab_hq_3seed.json + ab_hq_g16r.json)
+        # measured K=16+reuse quality-NEUTRAL vs exact (delta +0.01 +-
+        # 0.21 dB masked PSNR, paired) where K=8+reuse costs a real
+        # 0.44 +- 0.07 dB; K=8's rate is still published as 'k8' below.
+        shade_topk=int(os.environ.get("BENCH_TOPK", "16")),
         reuse_warp_faces=os.environ.get("BENCH_REUSE", "1") == "1",
         # fused SpaceNet Pallas kernels — A/B via env until the TPU
         # measurement picks the shipped default
@@ -333,6 +334,28 @@ def main():
             traceback.print_exc(file=sys.stderr)
             print("bench: sustained measurement failed; omitting",
                   file=sys.stderr)
+
+    # The faster K=8 gating next to the headline (BENCH_K8=0 skips): same
+    # pipeline at shade_topk=8 — ~13% faster than K=16 but with the
+    # measured 0.44 dB held-out tax at high fidelity (bench/r5/NOTES.md).
+    if settings.shade_topk == 16 and os.environ.get("BENCH_K8", "1") == "1":
+        k8_rays, k8_note = measure(
+            dataclasses.replace(
+                settings, shade_topk=8,
+                mlp_chunk=resolve_mlp_chunk(cfg.MODEL.MLP_CHUNK, 8),
+            )
+        )
+        if k8_rays is not None:
+            record["k8"] = {
+                "value": round(k8_rays, 1),
+                "vs_baseline": round(k8_rays / ASSUMED_REFERENCE_RAYS_PER_S, 2),
+                "semantics": "SHADE_TOPK=8 + reuse (fast config; costs "
+                             "0.44 +- 0.07 dB held-out masked PSNR at the "
+                             "512^2 high-fidelity gate vs the "
+                             "quality-neutral K=16 headline)",
+            }
+            if k8_note:
+                record["k8"]["note"] = k8_note
 
     # Reference-EXACT semantics next to the headline (unless the run above
     # already WAS exact, or the sweep is explicitly pinned via env).
