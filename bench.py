@@ -71,18 +71,24 @@ def main():
     cfg.MODEL.COARSE_RAY_SAMPLING = N_SAMPLES
     cfg.MODEL.sample_points_mode = "GG"
 
+    from dual_space_nerf_tpu.renderer.pipeline import _resolve_remat
+
+    bench_topk = int(os.environ.get("BENCH_TOPK", "16"))
     model = build_model(cfg)
     settings = RenderSettings(
         n_samples=N_SAMPLES,
         sample_mode="GG",
-        mlp_chunk=resolve_mlp_chunk(
-            cfg.MODEL.MLP_CHUNK, int(os.environ.get("BENCH_TOPK", "16"))
-        ),
+        mlp_chunk=resolve_mlp_chunk(cfg.MODEL.MLP_CHUNK, bench_topk),
         knn_impl=os.environ.get("BENCH_KNN", "auto"),
-        # v5e's 16 GB holds the full second-order graph at this workload;
-        # remat costs ~1 ms/step at the gated config (43.2 vs 44.3 ms solo)
-        # but WINS ~4 ms at the exact config — see exact_settings below
-        remat=False,
+        # remat follows the shipped auto policy: ON for heavy color
+        # graphs (K=0 full shading, K>8), OFF for light gating (K<=8) —
+        # the K=16 sweep measured remat+8192 at 174.9k vs 166.7k rays/s
+        # (BENCH_REMAT overrides for sweeps)
+        remat=(
+            _resolve_remat("auto", bench_topk)
+            if os.environ.get("BENCH_REMAT", "auto") == "auto"
+            else os.environ["BENCH_REMAT"] == "1"
+        ),
         # production config: density at all 64 samples, color on the top-K
         # by noisy compositing weight with nearest-shaded tail completion,
         # and the canonical normal-transport face taken from the world warp
@@ -91,7 +97,7 @@ def main():
         # measured K=16+reuse quality-NEUTRAL vs exact (delta +0.01 +-
         # 0.21 dB masked PSNR, paired) where K=8+reuse costs a real
         # 0.44 +- 0.07 dB; K=8's rate is still published as 'k8' below.
-        shade_topk=int(os.environ.get("BENCH_TOPK", "16")),
+        shade_topk=bench_topk,
         reuse_warp_faces=os.environ.get("BENCH_REUSE", "1") == "1",
         # fused SpaceNet Pallas kernels — A/B via env until the TPU
         # measurement picks the shipped default
@@ -343,6 +349,7 @@ def main():
             dataclasses.replace(
                 settings, shade_topk=8,
                 mlp_chunk=resolve_mlp_chunk(cfg.MODEL.MLP_CHUNK, 8),
+                remat=_resolve_remat("auto", 8),
             )
         )
         if k8_rays is not None:

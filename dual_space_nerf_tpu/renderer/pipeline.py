@@ -125,25 +125,31 @@ class LightState(NamedTuple):
 
 
 def resolve_mlp_chunk(cfg_value: int, shade_topk: int) -> int:
-    """MODEL.MLP_CHUNK policy. <= 0 = auto: 16384 for gated configs (v5e
-    sweep at SHADE_TOPK=8: 16384 = 51.9, 8192 = 52.8, 32768 = 56.4
-    ms/step), 8192 for full shading, whose fwd+bwd chunk loop pipelines
-    better at finer grain (exact+remat sweep, v5e 2026-08-19: 8192 = 64.9,
-    16384 = 69.5, 32768 = 78.8, unchunked = 117.5 ms/step)."""
+    """MODEL.MLP_CHUNK policy. <= 0 = auto: 16384 only for LIGHTLY gated
+    configs (v5e sweep at SHADE_TOPK=8: 16384 = 51.9, 8192 = 52.8,
+    32768 = 56.4 ms/step); 8192 for full shading (exact+remat sweep, v5e
+    2026-08-19: 8192 = 64.9, 16384 = 69.5, 32768 = 78.8, unchunked =
+    117.5 ms/step) AND for heavier gating (K=16 sweep, v5e 2026-08-20:
+    with remat 8192 = 174.9k rays/s, 16384 = 156.9k; without remat
+    16384 = 166.7k, 8192 = 165.4k, 32768 = 155.3k — the winning
+    remat+8192 combo pipelines at the finer grain like full shading)."""
     if cfg_value and int(cfg_value) > 0:
         return int(cfg_value)
-    return 16384 if shade_topk > 0 else 8192
+    return 16384 if 0 < shade_topk <= 8 else 8192
 
 
 def _resolve_remat(cfg_value, shade_topk: int) -> bool:
-    """MODEL.REMAT policy. "auto" remats exactly the full-shading configs
-    (shade_topk off): their second-order graph over all 352k samples is
-    HBM-bound and measures ~5% faster under remat on v5e, while gated
-    configs pay ~1 ms for it (solo A/B, 2026-08-19)."""
+    """MODEL.REMAT policy. "auto" remats the HEAVY color-graph configs:
+    full shading (shade_topk off — its second-order graph over all 352k
+    samples is HBM-bound and measures ~5% faster under remat on v5e) and
+    K > 8 gating (K=16 sweep, v5e 2026-08-20: remat+8192 = 174.9k rays/s
+    vs 166.7k at the r3 no-remat policy, +4.9%). Lightly gated configs
+    (0 < K <= 8) pay ~1 ms for remat and stay off (solo A/B,
+    2026-08-19)."""
     if isinstance(cfg_value, str):
         v = cfg_value.lower()
         if v == "auto":
-            return shade_topk <= 0
+            return shade_topk <= 0 or shade_topk > 8
         if v in ("on", "true", "1"):
             return True
         if v in ("off", "false", "0"):

@@ -64,6 +64,13 @@ def test_render_settings_auto_policies():
     s2 = RenderSettings.from_cfg(cfg2)
     assert s2.remat is False and s2.mlp_chunk == 16384
 
+    # K > 8 gating resolves like the heavy color-graph configs: remat +
+    # finer chunks (K=16 sweep, v5e 2026-08-20: 174.9k vs 166.7k rays/s)
+    cfg2b = cfg.clone()
+    cfg2b.MODEL.SHADE_TOPK = 16
+    s2b = RenderSettings.from_cfg(cfg2b)
+    assert s2b.remat is True and s2b.mlp_chunk == 8192
+
     # explicit values are honored verbatim, any topk
     cfg3 = cfg.clone()
     cfg3.MODEL.REMAT = True
