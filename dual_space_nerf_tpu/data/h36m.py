@@ -96,6 +96,11 @@ class H36M:
         # seeded like the reference's global np.random.seed(233)
         # (`main.py:22-26`): eval frame codes reproduce across runs
         self.rng = np.random.default_rng(seed)
+        # multi-host contract (same as data/zju.py::MocapBase): per-(epoch,
+        # item) rng so every process samples identical rays
+        self.item_seed = 0 if seed is None else int(seed)
+        self.deterministic_items = False
+        self._epoch = 0
         # epoch-persistent decoded-frame cache (see data/zju.py; H36M
         # frames cache as float32 post-undistort — the reference undistorts
         # the /255 float image, so a uint8 cache would not be bit-identical)
@@ -240,6 +245,16 @@ class H36M:
             self._image_cache[index] = out
         return out
 
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def _item_rng(self, i: int):
+        if self.deterministic_items:
+            return np.random.default_rng(
+                [self.item_seed, self._epoch, int(i)]
+            )
+        return self.rng
+
     def __getitem__(self, index):
         img_path = os.path.join(self.data_root, self.ims[index])
         img, msk, orig_msk, msk_cihp_eroded, H, W = self._decode_frame(index)
@@ -274,7 +289,7 @@ class H36M:
         rgb, ray_o, ray_d, near, far, coord, mask_at_box, _ = sample_rays(
             img, K, R, T, wbounds,
             mask=(msk == 1).astype(np.uint8), face_mask=msk_cihp_eroded,
-            nrays=nrays, rng=self.rng, normalize_dirs=True,
+            nrays=nrays, rng=self._item_rng(index), normalize_dirs=True,
             near_far=get_near_far_h36m, pools=pools,
         )
 

@@ -120,3 +120,26 @@ def test_h36m_test_split_novel_pose(h36m_tree):
     # full-image mode at eval
     assert item["ray_o"].shape[0] == item["mask_at_box"].sum()
     assert item["frame"] < 2  # randomized into the train-frame range
+
+
+def test_h36m_deterministic_items_order_independent(h36m_tree):
+    """Multi-host contract on the H36M loader (same as data/zju.py): with
+    deterministic_items, draws are a pure function of (seed, epoch, index)
+    regardless of read order across instances."""
+    def make():
+        ds = H36M(_cfg(), h36m_tree, "S9",
+                  os.path.join(h36m_tree, "annots.npy"), "train", nrays=64)
+        ds.deterministic_items = True
+        ds.set_epoch(2)
+        return ds
+
+    a, b = make(), make()
+    item_a = a[0]
+    _ = b[1]
+    item_b = b[0]
+    for k in ("coord", "rgb", "ray_d", "near", "far"):
+        np.testing.assert_array_equal(item_a[k], item_b[k], err_msg=k)
+
+    c = make()
+    c.set_epoch(3)
+    assert not np.array_equal(item_a["coord"], c[0]["coord"])
