@@ -249,10 +249,14 @@ class H36M:
         self._epoch = int(epoch)
 
     def _item_rng(self, i: int):
-        if self.deterministic_items:
-            return np.random.default_rng(
-                [self.item_seed, self._epoch, int(i)]
-            )
+        # getattr-defensive: novel-pose subclasses bypass this __init__
+        # (same contract as data/zju.py::MocapBase._item_rng)
+        if getattr(self, "deterministic_items", False):
+            return np.random.default_rng([
+                getattr(self, "item_seed", 0),
+                getattr(self, "_epoch", 0),
+                int(i),
+            ])
         return self.rng
 
     def __getitem__(self, index):
