@@ -133,9 +133,21 @@ class ImageRenderer:
             for rays, valid in iter_ray_chunks(item, self.chunk, frame_override)
             for out in (self._render_chunk(self.params, rays, mesh, light),)
         ]
+        # ONE fetch per image: concatenate all chunks' outputs on device
+        # and device_get a single small pytree (few leaves) instead of
+        # issuing ~18 per-chunk round trips — with f16 packing this is
+        # ~1.7 MB/image and insulates s_per_image from tunnel RTT weather
         parts = {k: [] for k in keys}
-        for out, _ in pending:
-            fetched = jax.device_get(out)
+        if pending:
+            import jax.numpy as jnp
+
+            fetched = jax.device_get({
+                k: (
+                    jnp.concatenate([out[k] for out, _ in pending])
+                    if len(pending) > 1 else pending[0][0][k]
+                )
+                for k in keys
+            })
             for k in keys:
                 parts[k].append(fetched[k])
 
