@@ -338,3 +338,34 @@ def test_prefetch_env_overrides_backend_arg(monkeypatch):
     monkeypatch.delenv("DSNERF_LOADER_BACKEND")
     assert PrefetchLoader([1], backend="thread").backend == "thread"
     assert PrefetchLoader([1]).backend == "thread"
+
+
+def test_synthesize_tree_parametrized_sizes(tmp_path):
+    """bench.py's cache-cold measurement synthesizes a ZJU-shaped tree at
+    non-default sizes through scripts/demo_end_to_end.synthesize_tree —
+    protect that parametrization (the demo test covers only the defaults)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+    ))
+    import demo_end_to_end as demo
+
+    from dual_space_nerf_tpu.data.zju import Mocap
+
+    tree = str(tmp_path / "zju_mocap")
+    demo.synthesize_tree(
+        tree, h=128, w=128, n_frames=2, train_views=[0, 1],
+        extra_view_dirs=(),
+    )
+    ds = Mocap(
+        human="CoreView_313", ratio=0.5, nrays=32, begin=0, end=2,
+        train_views=(0, 1), data_dir=tree,
+    )
+    assert len(ds) == 4  # 2 frames x 2 views
+    item = ds[0]
+    assert item["img"].shape == (64, 64, 3)  # ratio 0.5 of 128
+    assert item["rgb"].shape == (32, 3)
+    assert (item["near"] < item["far"]).all()
