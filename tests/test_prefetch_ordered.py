@@ -121,3 +121,13 @@ class _FakeMocap:
         self.item_seed = seed
         self._epoch = epoch
         self.rng = None
+
+
+def test_ordered_process_backend_yields_submission_order():
+    """ordered=True must hold for the forked-process backend too
+    (pool.imap vs imap_unordered)."""
+    loader = PrefetchLoader(
+        _SlowFirst(), shuffle=False, num_workers=3, ordered=True,
+        backend="process",
+    )
+    assert list(loader) == list(range(8))
